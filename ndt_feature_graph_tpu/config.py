@@ -1,0 +1,187 @@
+"""Configuration tree.
+
+One frozen-dataclass config tree replacing the reference's three nested
+``Params`` structs + ~50 ROS params + ~45 CLI flags:
+  - NDTFeatureFuserHMT::Params (ndt_feature_fuser_hmt.h:58-207, 22 fields)
+  - NDTFeatureGraph::Params    (ndt_feature_graph.h:24-56)
+  - MotionModel2d::Params      (motion_model.hpp:123-163)
+
+Configs are hashable and static: they are closed over / passed as static
+arguments to jitted functions, so every field here is a Python scalar
+(array shapes derive from them at trace time).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+def _replace(obj, **kw):
+    return dataclasses.replace(obj, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class MotionParams:
+    """Eliazar-style odometry covariance parameters.
+
+    Same notation as the reference (motion_model.hpp:123-163): variance
+    {C: sideways, D: forward, T: rotation} from {d: distance, t: rotation}.
+    """
+
+    Cd: float = 0.001
+    Ct: float = 0.001
+    Dd: float = 0.005
+    Dt: float = 0.005
+    Td: float = 0.001
+    Tt: float = 0.001
+
+    replace = _replace
+
+
+@dataclasses.dataclass(frozen=True)
+class NDTMapParams:
+    """Fixed-shape dense NDT grid geometry.
+
+    Replaces NDTMap/LazyGrid construction params (resolution, map sizes —
+    ndt_feature_fuser_hmt.h:64-68) with a static (H, W) cell grid.
+    """
+
+    resolution: float = 0.5
+    size_x: float = 70.0       # metres; submap extent (local maps are
+    size_y: float = 70.0       # sensor_range + 3*resolution sized in the
+    sensor_range: float = 30.0  # reference, fuser_hmt.h:232)
+    min_points_per_cell: int = 3
+    max_points_per_scan: int = 1024   # static capacity of a projected scan
+    max_cells: int = 1024             # static capacity of compacted cell lists
+    # Occupancy log-odds increments (ndt_map semantics: hit/miss updates
+    # along beams; values chosen to saturate similarly to log-odds 0.6/0.4).
+    occ_hit: float = 0.85
+    occ_miss: float = -0.4
+    occ_clamp: float = 10.0
+    ray_samples: int = 48             # free-space samples per beam
+
+    @property
+    def grid_h(self) -> int:
+        return int(round(self.size_y / self.resolution))
+
+    @property
+    def grid_w(self) -> int:
+        return int(round(self.size_x / self.resolution))
+
+    replace = _replace
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherParams:
+    """D2D / fusion matcher knobs (matchFusion signature defaults,
+    ndt_matcher_d2d_fusion.h:797-804; NDTMatcherD2D lfd scaling)."""
+
+    itr_max: int = 30
+    delta_score: float = 1e-4
+    n_neighbours: int = 2
+    step_control: bool = True
+    line_search_evals: int = 10       # reference More-Thuente: maxfev=40
+    lfd1: float = 1.0                 # Gaussian-overlap amplitude d1
+    lfd2: float = 0.05                # Gaussian-overlap exponent scale d2
+    use_ndt: bool = True
+    use_feat: bool = True
+    use_odom: bool = True             # soft-constraint Mahalanobis prior
+    tikhonov: bool = False
+    cov_scale: float = 1.0            # scale on inv-Hessian pose covariance
+
+    replace = _replace
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureParams:
+    """FLIRT-equivalent feature stack parameters.
+
+    Detector defaults mirror flirtlib_utils.h:15-35 (curvature detector
+    scale=5 octaves, base sigma=0.2, step=1.4; peak finder 0.34/0.001) and
+    the beta-grid descriptor 4x12 polar bins over rho in [0.02, 1.0]
+    (flirtlib_utils.h:44-52).
+    """
+
+    num_beams: int = 720
+    max_range: float = 30.0
+    # Detector
+    num_scales: int = 5
+    base_sigma: float = 0.2
+    sigma_step: float = 1.4
+    peak_min_value: float = 0.34
+    peak_min_diff: float = 0.001
+    max_features: int = 32
+    # Descriptor (beta grid)
+    min_rho: float = 0.02
+    max_rho: float = 1.0
+    rho_bins: int = 4
+    phi_bins: int = 12
+    # RANSAC (fuser parameterization, fuser_hmt.h:213; flirtlib_ros and
+    # startup_loc variants are produced via replace()).
+    ransac_acceptance: float = 0.0599   # inlier residual^2 gate (m^2)
+    ransac_success_prob: float = 0.9
+    ransac_inlier_ratio: float = 0.1
+    ransac_dist_threshold: float = 0.6  # descriptor chi2 gate
+    ransac_rigidity: float = 0.0499
+    ransac_hypotheses: int = 256        # fixed parallel hypothesis budget
+    max_correspondences: int = 64
+
+    replace = _replace
+
+
+@dataclasses.dataclass(frozen=True)
+class FuserParams:
+    """Scan-to-submap fuser (NDTFeatureFuserHMT::Params equivalents)."""
+
+    ndt: NDTMapParams = NDTMapParams()
+    matcher: MatcherParams = MatcherParams()
+    features: FeatureParams = FeatureParams()
+    motion: MotionParams = MotionParams()
+    check_consistency: bool = True
+    max_translation_norm: float = 1.0
+    max_rotation_norm: float = math.pi / 4.0
+    fuse_incomplete: bool = False
+    force_odom_as_est: bool = False
+    all_matches_valid: bool = False
+    feature_cov_xy: float = 2e-4      # fixed pseudo-cell covariance,
+    feature_cov_theta: float = 1e-4   # fuser_hmt.cpp:249
+    feature_map_update_incr: int = 4  # append features every 4th update
+                                      # (ndt_feature_map.h:64)
+
+    replace = _replace
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphParams:
+    """Pose graph (NDTFeatureGraph::Params + validation gates from
+    ndt_feature_graph_opt.cpp:49-52)."""
+
+    new_node_transl_dist: float = 2.0
+    max_nodes: int = 64               # static node capacity
+    max_links: int = 256              # static link capacity
+    # getValidLinks gates
+    valid_max_score: float = 0.1
+    valid_max_dist: float = 1.0
+    valid_max_angular_dist: float = 0.2
+    valid_min_idx_dist: int = 2
+    # solver
+    prior_information: float = 100.0  # Information(100*eye) on node 0,
+                                      # ndt_offline_mapper.h:61
+    gn_iterations: int = 20
+    gn_damping: float = 1e-6
+    fixpoint_max_rounds: int = 10
+
+    replace = _replace
+
+
+@dataclasses.dataclass(frozen=True)
+class SLAMParams:
+    """Top-level config for the full pipeline."""
+
+    fuser: FuserParams = FuserParams()
+    graph: GraphParams = GraphParams()
+    min_incr_dist: float = 0.02       # scan gating, publish_graph_message.cpp:316
+    min_incr_rot: float = 0.02
+
+    replace = _replace
