@@ -15,11 +15,11 @@ Design choices vs the reference:
   * The Newton iteration with eigenvalue regularization, LDLT solve,
     line search, and best-score fallback (fusion.h:922-1079) is a single
     `lax.while_loop` — one XLA computation, no host round-trips.
-  * More-Thuente line search is replaced by a fixed-budget backtracking
-    search with quadratic interpolation inside `lax.while_loop`
-    (fusion.h:390-793 is branch-heavy and host-sequential; on TPU a
-    bounded loop with the same sufficient-decrease acceptance converges
-    on the same perturbation sweeps — tests/test_d2d.py).
+  * More-Thuente line search + eigenvalue shift (fusion.h:390-793,
+    922-940 — branch-heavy and host-sequential) are replaced by
+    Levenberg-Marquardt adaptive damping with Armijo acceptance: same
+    bounded-step safeguard, one fixed-shape loop; convergence validated
+    on the reference's perturbation sweeps (tests/test_d2d.py).
 
 Cell association: the target is a *dense grid*, so the neighbour search
 of LazyGrid (n_neighbours shells, NDTMatcherD2D::derivativesNDT) becomes
@@ -143,122 +143,93 @@ class NewtonResult(NamedTuple):
     converged: jnp.ndarray   # bool — gradient vanished within budget
 
 
-def _regularize_hessian(H, gnorm):
-    """Eigenvalue regularization (fusion.h:922-940): if the Hessian is
-    indefinite, shift eigenvalues by ||g|| (or 0.001*max - min if that
-    is not enough to make it PD)."""
+def _psd_project(H):
+    """Project the Hessian onto the PSD cone by clamping eigenvalues at
+    zero (trust-region analogue of the reference's eigenvalue shift,
+    fusion.h:922-940; the subsequent LM damping supplies the positive
+    shift adaptively)."""
     evals, evecs = jnp.linalg.eigh(H)
-    mineig = evals[0]
-    maxeig = evals[-1]
-    reg = jnp.where(gnorm + mineig > 0, gnorm, 1e-3 * maxeig - mineig)
-    evals_r = jnp.where(mineig < 0, evals + reg, evals)
-    Hr = (evecs * evals_r[None, :]) @ evecs.T
-    return jnp.where(mineig < 0, Hr, H)
-
-
-def _line_search(score_fn, d, delta, f0, g0, max_evals):
-    """Backtracking line search with sufficient decrease (Armijo,
-    c1 = 1e-4) and quadratic interpolation; fixed eval budget.  Replaces
-    More-Thuente (fusion.h:390-793) under jit.  Returns step in
-    (0, 1]."""
-    c1 = 1e-4
-    dg0 = jnp.dot(delta, g0)  # negative by construction
-
-    def body(state):
-        step, _, evals, done = state
-        f = score_fn(d + step * delta)
-        ok = f <= f0 + c1 * step * dg0
-        # Quadratic interpolation for the next trial, clamped to [0.1, 0.5]
-        # of the current step.
-        denom = 2.0 * (f - f0 - step * dg0)
-        qstep = jnp.where(
-            jnp.abs(denom) > 1e-20, -dg0 * step * step / denom, 0.5 * step
-        )
-        nstep = jnp.clip(qstep, 0.1 * step, 0.5 * step)
-        return (
-            jnp.where(ok, step, nstep),
-            jnp.where(ok, f, jnp.inf),
-            evals + 1,
-            done | ok,
-        )
-
-    def cond(state):
-        _, _, evals, done = state
-        return (~done) & (evals < max_evals)
-
-    step, _, _, done = jax.lax.while_loop(
-        cond, body, (jnp.float32(1.0), jnp.float32(jnp.inf), 0, False)
-    )
-    # If no sufficient decrease found within budget, take a tiny step
-    # (the outer loop's best-score fallback then protects the estimate).
-    return jnp.where(done, step, jnp.float32(0.05))
+    evals = jnp.maximum(evals, 0.0)
+    return (evecs * evals[None, :]) @ evecs.T
 
 
 def newton_match(
     score_fn, d_init, m: MatcherParams
 ) -> tuple:
-    """Generic jitted Newton minimizer over the 3-DoF increment.
+    """Generic jitted damped-Newton (Levenberg-Marquardt) minimizer over
+    the 3-DoF increment.
 
-    Mirrors the matchFusion iteration (fusion.h:856-1079): derivatives →
-    regularize → solve → direction check → line search → update, with
-    best-score tracking and the same convergence tests (gradient norm <=
-    DELTA_SCORE, iteration cap).
+    Serves the role of the matchFusion iteration (fusion.h:856-1079):
+    derivatives → PSD regularization → damped solve → monotone
+    acceptance, with best-score tracking and the same convergence tests
+    (gradient norm <= DELTA_SCORE, iteration cap).  The reference's
+    More-Thuente line search (branch-heavy, host-sequential) is replaced
+    by adaptive damping: a rejected trial multiplies lambda and retries —
+    the same bounded-step safeguard, but one fixed-shape while_loop.
+    Convergence quality is validated on the reference's perturbation
+    sweeps in tests/test_d2d.py.
 
-    Returns (d, score_best, iters, converged).
+    Returns (d, score_best, trials, converged).
     """
     grad_fn = jax.grad(score_fn)
     hess_fn = jax.jacfwd(jax.grad(score_fn))
+    max_trials = 2 * m.itr_max
+    lam_min = jnp.float32(1e-6)
+    lam_max = jnp.float32(1e7)
+    eye = jnp.eye(3, dtype=jnp.float32)
 
     def cond(state):
-        d, best_d, best_f, itr, stop = state
-        return (~stop) & (itr < m.itr_max)
+        d, f, lam, best_d, best_f, itr, stop = state
+        return (~stop) & (itr < max_trials)
 
     def body(state):
-        d, best_d, best_f, itr, _ = state
-        f = score_fn(d)
+        d, f, lam, best_d, best_f, itr, _ = state
         g = grad_fn(d)
-        H = hess_fn(d)
+        H = _psd_project(hess_fn(d))
         gnorm = jnp.linalg.norm(g)
-
-        better = f < best_f
-        best_f2 = jnp.where(better, f, best_f)
-        best_d2 = jnp.where(better, d, best_d)
-
-        H = _regularize_hessian(H, gnorm)
         grad_vanished = gnorm <= m.delta_score
 
-        delta = -jnp.linalg.solve(
-            H + 1e-9 * jnp.eye(3, dtype=H.dtype), g
-        )
-        ascent = jnp.dot(delta, g) > 0
+        delta = -jnp.linalg.solve(H + lam * eye, g)
+        f_new = score_fn(d + delta)
+        # Sufficient decrease (Armijo against the model's directional
+        # derivative).
+        accept = f_new <= f + 1e-4 * jnp.dot(delta, g)
 
+        d_new = jnp.where(accept, d + delta, d)
+        f_next = jnp.where(accept, f_new, f)
         if m.step_control:
-            step = _line_search(
-                score_fn, d, delta, f, g, m.line_search_evals
+            lam_new = jnp.where(
+                accept, jnp.maximum(lam * 0.33, lam_min), lam * 6.0
             )
         else:
-            step = jnp.float32(1.0)
+            lam_new = lam_min
 
-        stop = grad_vanished | ascent
-        d_new = jnp.where(stop, d, d + step * delta)
-        return (d_new, best_d2, best_f2, itr + 1, stop)
+        better = f_next < best_f
+        best_f2 = jnp.where(better, f_next, best_f)
+        best_d2 = jnp.where(better, d_new, best_d)
+
+        stop = grad_vanished | (lam_new > lam_max)
+        return (d_new, f_next, lam_new, best_d2, best_f2, itr + 1, stop)
 
     d0 = jnp.asarray(d_init, jnp.float32)
+    f0 = score_fn(d0)
     init = (
         d0,
+        f0,
+        jnp.float32(1e-3),
         d0,
-        jnp.float32(jnp.inf),
+        f0,
         jnp.int32(0),
         jnp.bool_(False),
     )
-    d, best_d, best_f, itr, stop = jax.lax.while_loop(cond, body, init)
+    d, f, lam, best_d, best_f, itr, stop = jax.lax.while_loop(
+        cond, body, init
+    )
 
-    # Final score check with best fallback (fusion.h:945-952 "crap
-    # iterations" path).
-    f_final = score_fn(d)
-    use_best = f_final > best_f
+    # Best fallback (fusion.h:945-952 "crap iterations" path).
+    use_best = f > best_f
     d_out = jnp.where(use_best, best_d, d)
-    f_out = jnp.where(use_best, best_f, f_final)
+    f_out = jnp.where(use_best, best_f, f)
     return d_out, f_out, itr, stop
 
 
