@@ -1,0 +1,134 @@
+"""Synthetic datasets + sequence plumbing.
+
+Replaces the reference's rosbag/LaserBagReader dataset path
+(ndt_offline_ndt_feature/src/ndt_graph_offline.cpp:458-479) — the
+bundled rosbags are LFS-missing upstream (.MISSING_LARGE_BLOBS), so the
+primary sequences here are simulated 2D worlds with exact ground truth:
+segment worlds + raycast lidar (the same role as flirtlib_ros's
+simulate_scans.cpp:50-155).
+
+All generators are jittable; sequences are (scans, odometry, gt) array
+triples like readMultipleMeasurements + getMotion produce.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ndt_feature_graph_tpu.core import se2
+
+
+class Sequence(NamedTuple):
+    """A recorded run: per-step scan + odometry + ground truth."""
+
+    ranges: jnp.ndarray      # (T, B) beam ranges (max_range where no hit)
+    hit: jnp.ndarray         # (T, B) bool — beam hit something in range
+    odom: jnp.ndarray        # (T, 3) relative motion (noisy), local frame
+    gt: jnp.ndarray          # (T, 3) ground-truth absolute poses
+
+
+def default_world():
+    """A ~20x14 m office-like room with interior walls and pillars.
+    Segments as (S, 4) [x0, y0, x1, y1]."""
+    segs = [
+        # Outer walls
+        (-10, -7, 10, -7), (10, -7, 10, 7), (10, 7, -10, 7), (-10, 7, -10, -7),
+        # Interior partitions
+        (-4, -7, -4, -2), (-4, 2, -4, 7), (3, -7, 3, 0), (3, 3, 3, 7),
+        (-4, 2, 0, 2), (6, 3, 10, 3),
+        # Pillars (small squares)
+        (-7, -3, -6, -3), (-6, -3, -6, -2), (-6, -2, -7, -2), (-7, -2, -7, -3),
+        (6, -4, 7, -4), (7, -4, 7, -3), (7, -3, 6, -3), (6, -3, 6, -4),
+        (0, 5, 1, 5), (1, 5, 1, 6), (1, 6, 0, 6), (0, 6, 0, 5),
+    ]
+    return jnp.asarray(segs, jnp.float32)
+
+
+def raycast(segments, pose, num_beams, max_range, fov=2.0 * np.pi):
+    """Cast `num_beams` rays from `pose` against the segment world.
+    Returns (ranges (B,), hit (B,)).  Fully vectorized (B x S)."""
+    angles = pose[2] + jnp.linspace(
+        -fov / 2, fov / 2, num_beams, endpoint=False
+    )
+    dx, dy = jnp.cos(angles), jnp.sin(angles)          # (B,)
+    ox, oy = pose[0], pose[1]
+    x0, y0, x1, y1 = (segments[:, i] for i in range(4))  # (S,)
+    ex, ey = x1 - x0, y1 - y0
+
+    # Solve o + t*d = p0 + u*e  for t (ray param) and u in [0,1].
+    denom = dx[:, None] * (-ey)[None, :] + dy[:, None] * ex[None, :]
+    safe = jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9)
+    rx = x0[None, :] - ox
+    ry = y0[None, :] - oy
+    t = (rx * (-ey)[None, :] + ry * ex[None, :]) / safe
+    u = (dx[:, None] * ry - dy[:, None] * rx) / safe
+    valid = (jnp.abs(denom) > 1e-9) & (u >= 0) & (u <= 1) & (t > 1e-6)
+    t = jnp.where(valid, t, jnp.inf)
+    rng = jnp.min(t, axis=1)
+    hit = rng < max_range
+    return jnp.where(hit, rng, max_range), hit
+
+
+def scan_to_points(ranges, hit, fov=2.0 * np.pi):
+    """Polar scan -> (B, 2) points in the sensor frame + mask."""
+    b = ranges.shape[-1]
+    angles = jnp.linspace(-fov / 2, fov / 2, b, endpoint=False)
+    pts = jnp.stack(
+        [ranges * jnp.cos(angles), ranges * jnp.sin(angles)], -1
+    )
+    return pts, hit
+
+
+def simulate_sequence(
+    key,
+    waypoint_poses,
+    num_beams=720,
+    max_range=30.0,
+    segments=None,
+    range_noise=0.01,
+    odom_noise=(0.01, 0.01, 0.004),
+) -> Sequence:
+    """Drive through `waypoint_poses` (T, 3); record noisy scans + noisy
+    relative odometry + GT."""
+    if segments is None:
+        segments = default_world()
+    gt = jnp.asarray(waypoint_poses, jnp.float32)
+    t_steps = gt.shape[0]
+
+    k1, k2 = jax.random.split(key)
+
+    def scan_at(pose, k):
+        rng, hit = raycast(segments, pose, num_beams, max_range)
+        rng = rng + range_noise * jax.random.normal(k, rng.shape) * hit
+        return rng, hit
+
+    keys = jax.random.split(k1, t_steps)
+    ranges, hits = jax.vmap(scan_at)(gt, keys)
+
+    # Relative odometry (local frame) with additive gaussian noise.
+    rel = se2.sub(gt[:-1], gt[1:])
+    noise = jax.random.normal(k2, rel.shape) * jnp.asarray(odom_noise)
+    odom = jnp.concatenate([jnp.zeros((1, 3)), rel + noise], 0)
+    return Sequence(ranges=ranges, hit=hits, odom=odom, gt=gt)
+
+
+def loop_trajectory(n_steps=120, radius=5.0, center=(0.0, -0.5)):
+    """A closed loop around the room (revisits the start — exercises
+    loop closure)."""
+    a = np.linspace(0, 2 * np.pi, n_steps)
+    x = center[0] + radius * np.cos(a)
+    y = center[1] + 0.65 * radius * np.sin(a)
+    theta = np.unwrap(np.arctan2(np.gradient(y), np.gradient(x)))
+    return jnp.asarray(np.stack([x, y, theta], -1), jnp.float32)
+
+
+def corridor_trajectory(n_steps=60, x0=-8.0, x1=8.0, y=-4.5):
+    """Straight drive along the lower corridor."""
+    x = np.linspace(x0, x1, n_steps)
+    y_arr = np.full(n_steps, y)
+    theta = np.zeros(n_steps)
+    return jnp.asarray(np.stack([x, y_arr, theta], -1), jnp.float32)

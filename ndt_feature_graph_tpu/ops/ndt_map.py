@@ -92,7 +92,10 @@ def add_points(
     recursive sample-variance update is just addition.
     """
     iy, ix = cell_index(params, grid.origin, pts)
-    ok = mask & in_bounds(params, iy, ix)
+    # NaN guard (sensor glitches poison sufficient statistics otherwise;
+    # int casts of NaN are platform-defined and can pass bounds checks).
+    finite = jnp.all(jnp.isfinite(pts), axis=-1)
+    ok = mask & finite & in_bounds(params, iy, ix)
     h, w = params.grid_h, params.grid_w
     flat = jnp.where(ok, iy * w + ix, h * w)  # out-of-range -> dropped
     ptsm = jnp.where(ok[..., None], pts, 0.0)
@@ -126,6 +129,7 @@ def update_occupancy(
 
     # Hits.
     iy, ix = cell_index(params, grid.origin, pts)
+    mask = mask & jnp.all(jnp.isfinite(pts), axis=-1)
     ok = mask & in_bounds(params, iy, ix)
     flat = jnp.where(ok, iy * w + ix, h * w)
     hit = jnp.zeros(dnum, grid.occ.dtype).at[flat].add(

@@ -1,0 +1,122 @@
+"""End-to-end scan-to-submap odometry tests on a simulated world
+(the "minimum end-to-end slice", SURVEY.md §7.4; replay-style eval as
+the reference's gt/est TUM machinery, publish_graph_message.cpp:881)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ndt_feature_graph_tpu.config import FuserParams, NDTMapParams
+from ndt_feature_graph_tpu.core import se2
+from ndt_feature_graph_tpu.fusion import fuser
+from ndt_feature_graph_tpu.io import dataset
+
+PARAMS = FuserParams(
+    ndt=NDTMapParams(
+        resolution=0.5,
+        size_x=40.0,
+        size_y=40.0,
+        sensor_range=15.0,
+        max_points_per_scan=512,
+        max_cells=512,
+    ),
+)
+
+
+def run_sequence(seq, params=PARAMS, num_beams=360):
+    pts0, mask0 = dataset.scan_to_points(seq.ranges[0], seq.hit[0])
+    state = fuser.initialize(
+        params, seq.gt[0], jnp.zeros(3), pts0, mask0
+    )
+    est = [np.asarray(state.Tnow)]
+    infos = []
+    for t in range(1, seq.gt.shape[0]):
+        pts, mask = dataset.scan_to_points(seq.ranges[t], seq.hit[t])
+        state, info = fuser.update(
+            state, params, seq.odom[t], pts, mask
+        )
+        est.append(np.asarray(state.Tnow))
+        infos.append(info)
+    return np.stack(est), state, infos
+
+
+def ate(est, gt):
+    return float(np.sqrt(np.mean(np.sum((est[:, :2] - gt[:, :2]) ** 2, -1))))
+
+
+def test_fuser_tracks_short_corridor():
+    traj = dataset.corridor_trajectory(25, x0=-6.0, x1=0.0, y=-4.5)
+    seq = dataset.simulate_sequence(
+        jax.random.PRNGKey(0), traj, num_beams=360, max_range=15.0
+    )
+    est, state, infos = run_sequence(seq)
+    gt = np.asarray(seq.gt)
+
+    err = ate(est, gt)
+    # Dead-reckoning error for comparison.
+    odo = [gt[0]]
+    for t in range(1, len(gt)):
+        odo.append(np.asarray(se2.compose(jnp.asarray(odo[-1]),
+                                          seq.odom[t])))
+    odo = np.stack(odo)
+    odo_err = ate(odo, gt)
+
+    assert err < 0.15, (err, odo_err)
+    assert err <= odo_err + 0.02, (err, odo_err)
+
+
+def test_fuser_beats_odometry_with_bias():
+    """With biased odometry the fuser must do clearly better than
+    dead reckoning."""
+    traj = dataset.corridor_trajectory(30, x0=-6.0, x1=2.0, y=-4.5)
+    seq = dataset.simulate_sequence(
+        jax.random.PRNGKey(1), traj, num_beams=360, max_range=15.0
+    )
+    # Inject systematic odometry bias (scale error + drift).
+    biased = seq._replace(
+        odom=seq.odom * 1.08 + jnp.array([0.0, 0.002, 0.002])
+    )
+    est, state, infos = run_sequence(biased)
+    gt = np.asarray(seq.gt)
+
+    odo = [gt[0]]
+    for t in range(1, len(gt)):
+        odo.append(
+            np.asarray(se2.compose(jnp.asarray(odo[-1]), biased.odom[t]))
+        )
+    odo = np.stack(odo)
+
+    assert ate(est, gt) < 0.2
+    assert ate(est, gt) < 0.5 * ate(odo, gt)
+
+
+def test_consistency_gate_falls_back_to_odometry():
+    """A garbage scan (all empty) must not produce a wild pose jump."""
+    traj = dataset.corridor_trajectory(5, x0=-6.0, x1=-5.0, y=-4.5)
+    seq = dataset.simulate_sequence(
+        jax.random.PRNGKey(2), traj, num_beams=360, max_range=15.0
+    )
+    pts0, mask0 = dataset.scan_to_points(seq.ranges[0], seq.hit[0])
+    state = fuser.initialize(PARAMS, seq.gt[0], jnp.zeros(3), pts0, mask0)
+
+    pts, _ = dataset.scan_to_points(seq.ranges[1], seq.hit[1])
+    empty = jnp.zeros_like(seq.hit[1])
+    state2, info = fuser.update(state, PARAMS, seq.odom[1], pts, empty)
+    # With no cells the estimate equals odometry propagation.
+    expect = np.asarray(se2.compose(state.Tnow, seq.odom[1]))
+    np.testing.assert_allclose(np.asarray(state2.Tnow), expect, atol=5e-2)
+
+
+def test_update_is_jitted_once():
+    """Repeated updates must not retrace (static shapes everywhere)."""
+    traj = dataset.corridor_trajectory(6, x0=-6.0, x1=-4.0, y=-4.5)
+    seq = dataset.simulate_sequence(
+        jax.random.PRNGKey(3), traj, num_beams=360, max_range=15.0
+    )
+    pts0, mask0 = dataset.scan_to_points(seq.ranges[0], seq.hit[0])
+    state = fuser.initialize(PARAMS, seq.gt[0], jnp.zeros(3), pts0, mask0)
+    for t in range(1, 6):
+        pts, mask = dataset.scan_to_points(seq.ranges[t], seq.hit[t])
+        state, _ = fuser.update(state, PARAMS, seq.odom[t], pts, mask)
+    count = fuser.update._cache_size()
+    assert count == 1, count
