@@ -1,0 +1,133 @@
+"""FLIRT-equivalent feature stack tests: detector repeatability,
+descriptor invariance, RANSAC transform recovery (scenario shape of
+flirtlib_ros_test.cpp:95-304 with simulated scans)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ndt_feature_graph_tpu.config import FeatureParams
+from ndt_feature_graph_tpu.core import se2
+from ndt_feature_graph_tpu.features import (
+    FeatureSet,
+    describe,
+    detect,
+    match_sets,
+    symmetric_chi2_matrix,
+)
+from ndt_feature_graph_tpu.io import dataset
+
+FP = FeatureParams(num_beams=360, max_range=15.0)
+
+
+def scan_at(pose, key=None, noise=0.0):
+    segs = dataset.default_world()
+    rng, hit = dataset.raycast(segs, jnp.asarray(pose, jnp.float32), 360, 15.0)
+    if noise and key is not None:
+        rng = rng + noise * jax.random.normal(key, rng.shape) * hit
+    return rng, hit
+
+
+def world_features(pose, key=None, noise=0.0):
+    rng, hit = scan_at(pose, key, noise)
+    f = detect(FP, rng, hit)
+    d = describe(FP, f, rng, hit)
+    return f, d, (rng, hit)
+
+
+def test_detector_finds_corners():
+    pose = jnp.array([0.0, -4.5, 0.0])
+    f, d, _ = world_features(pose)
+    n = int(jnp.sum(f.mask))
+    assert n >= 4, n
+    # Detected points must lie on world structure: distance from any
+    # feature (in world frame) to the nearest wall segment < 0.3 m.
+    wf = f.transform(pose)
+    pts = np.asarray(wf.pts)[np.asarray(f.mask)]
+    segs = np.asarray(dataset.default_world())
+
+    def seg_dist(p):
+        p0 = segs[:, :2]
+        p1 = segs[:, 2:]
+        d01 = p1 - p0
+        t = np.clip(
+            ((p - p0) * d01).sum(-1) / (d01**2).sum(-1).clip(1e-9), 0, 1
+        )
+        proj = p0 + t[:, None] * d01
+        return np.linalg.norm(p - proj, axis=-1).min()
+
+    dists = np.array([seg_dist(p) for p in pts])
+    assert (dists < 0.3).all(), dists
+
+
+def test_detector_repeatability_under_noise():
+    pose = jnp.array([0.0, -4.5, 0.0])
+    f1, _, _ = world_features(pose)
+    f2, _, _ = world_features(pose, jax.random.PRNGKey(0), noise=0.01)
+    p1 = np.asarray(f1.pts)[np.asarray(f1.mask)]
+    p2 = np.asarray(f2.pts)[np.asarray(f2.mask)]
+    # Most features from the clean scan re-detected nearby under noise.
+    d = np.linalg.norm(p1[:, None] - p2[None], axis=-1)
+    frac = (d.min(1) < 0.3).mean()
+    assert frac > 0.6, frac
+
+
+def test_descriptor_viewpoint_invariance():
+    """Corresponding features seen from two poses should have smaller
+    chi2 distance than non-corresponding ones."""
+    pose1 = jnp.array([0.0, -4.5, 0.0])
+    pose2 = jnp.array([0.6, -4.2, 0.25])
+    f1, d1, _ = world_features(pose1)
+    f2, d2, _ = world_features(pose2)
+    w1 = f1.transform(pose1)
+    w2 = f2.transform(pose2)
+    m1, m2 = np.asarray(f1.mask), np.asarray(f2.mask)
+    gd = np.linalg.norm(
+        np.asarray(w1.pts)[:, None] - np.asarray(w2.pts)[None], axis=-1
+    )
+    chi = np.asarray(symmetric_chi2_matrix(d1, d2))
+    corr = (gd < 0.3) & m1[:, None] & m2[None, :]
+    noncorr = (gd > 1.5) & m1[:, None] & m2[None, :]
+    assert corr.sum() >= 3
+    assert chi[corr].mean() < chi[noncorr].mean()
+
+
+def test_ransac_recovers_relative_pose():
+    pose1 = jnp.array([0.0, -4.5, 0.0])
+    pose2 = jnp.array([0.7, -4.1, 0.3])
+    f1, d1, _ = world_features(pose1)
+    f2, d2, _ = world_features(pose2)
+    res = match_sets(FP, f1, d1, f2, d2, jax.random.PRNGKey(1))
+    assert bool(res.valid)
+    # T maps mov (frame 2) -> ref (frame 1): expected inv(P1) ∘ P2.
+    expect = np.asarray(se2.compose(se2.inverse(pose1), pose2))
+    got = np.asarray(res.T)
+    np.testing.assert_allclose(got[:2], expect[:2], atol=0.15)
+    assert abs(se2.normalize_angle(got[2] - expect[2])) < 0.08
+    assert int(res.num_inliers) >= 4
+
+
+def test_ransac_rejects_unrelated_scenes():
+    """Different rooms must not produce a confident match."""
+    pose1 = jnp.array([-7.0, -4.5, 0.0])
+    pose2 = jnp.array([7.0, 5.0, 2.0])
+    f1, d1, _ = world_features(pose1)
+    f2, d2, _ = world_features(pose2)
+    res = match_sets(FP, f1, d1, f2, d2, jax.random.PRNGKey(2))
+    # Few inliers (no common structure at the right scale).
+    assert int(res.num_inliers) <= 6
+
+
+def test_ransac_empty_input():
+    f_empty = FeatureSet(
+        pts=jnp.zeros((FP.max_features, 2)),
+        angles=jnp.zeros(FP.max_features),
+        scales=jnp.ones(FP.max_features),
+        response=jnp.zeros(FP.max_features),
+        mask=jnp.zeros(FP.max_features, bool),
+    )
+    d_empty = jnp.full((FP.max_features, FP.rho_bins * FP.phi_bins), 0.5)
+    res = match_sets(FP, f_empty, d_empty, f_empty, d_empty,
+                     jax.random.PRNGKey(3))
+    assert not bool(res.valid)
+    assert np.isfinite(np.asarray(res.T)).all()
