@@ -1,0 +1,202 @@
+"""Link computation: loop-closure proposal, occupancy-overlap scoring,
+D2D refinement, validation gates.
+
+Replaces NDTFeatureGraph::{computeLink, computeAllPossibleLinks,
+updateLinksUsingNDTRegistration, getValidLinks}
+(ndt_feature_graph.cpp:162-177, 260-345, 395-405, 527-556) and
+overlapNDTOccupancyScore (ndt_feature_node.h:213-252).  The reference's
+O(N^2) sequential pair loop becomes one vmapped batch over a padded
+pair list — the embarrassingly-parallel workload that later shards over
+the device mesh (parallel/links_sharded.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ndt_feature_graph_tpu.config import FeatureParams, GraphParams, MatcherParams, NDTMapParams
+from ndt_feature_graph_tpu.core import se2
+from ndt_feature_graph_tpu.features import ransac
+from ndt_feature_graph_tpu.graph.node import NodeData
+from ndt_feature_graph_tpu.ops import d2d
+
+
+class LinkSet(NamedTuple):
+    """Padded link arrays (NDTFeatureLink fields,
+    ndt_feature_link.h:9-56)."""
+
+    ref: jnp.ndarray    # (L,) int32
+    mov: jnp.ndarray    # (L,) int32
+    T: jnp.ndarray      # (L, 3) mov-node frame -> ref-node frame
+    cov: jnp.ndarray    # (L, 3, 3)
+    score: jnp.ndarray  # (L,) occupancy-overlap score (lower = better)
+    mask: jnp.ndarray   # (L,) bool
+
+
+def occupancy_overlap_score(
+    ref: NodeData, mov: NodeData, T, resolution: float
+):
+    """Mean squared difference of rescaled occupancy over cells where
+    both maps carry information; 1.0 when no overlap
+    (overlapNDTOccupancyScore, ndt_feature_node.h:213-252)."""
+    h, w = mov.occ.shape
+    ys = (jnp.arange(h) + 0.5) * resolution
+    xs = (jnp.arange(w) + 0.5) * resolution
+    cx = mov.occ_origin[0] + xs
+    cy = mov.occ_origin[1] + ys
+    centers = jnp.stack(
+        [
+            jnp.broadcast_to(cx[None, :], (h, w)),
+            jnp.broadcast_to(cy[:, None], (h, w)),
+        ],
+        -1,
+    ).reshape(-1, 2)
+    mov_occ = jax.nn.sigmoid(mov.occ.reshape(-1))
+    mov_has = jnp.abs(mov.occ.reshape(-1)) > 1e-6
+
+    tp = se2.transform_points(T, centers)
+    rel = (tp - ref.occ_origin) / resolution
+    ix = jnp.floor(rel[:, 0]).astype(jnp.int32)
+    iy = jnp.floor(rel[:, 1]).astype(jnp.int32)
+    inb = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+    flat = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
+    ref_occ_raw = ref.occ.reshape(-1)[flat]
+    ref_has = (jnp.abs(ref_occ_raw) > 1e-6) & inb
+    ref_occ = jax.nn.sigmoid(ref_occ_raw)
+
+    both = mov_has & ref_has
+    nb = jnp.sum(both)
+    diff2 = (mov_occ - ref_occ) ** 2
+    s = jnp.sum(jnp.where(both, diff2, 0.0)) / jnp.maximum(nb, 1)
+    return jnp.where(nb > 0, s, 1.0), nb
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fp", "resolution")
+)
+def compute_link(
+    fp: FeatureParams,
+    resolution: float,
+    ref: NodeData,
+    mov: NodeData,
+    key,
+):
+    """Feature-map RANSAC -> T, then occupancy-overlap score
+    (computeLink, ndt_feature_graph.cpp:162-177).  Returns
+    (T (3,), score, feat_valid, n_overlap)."""
+    res = ransac.match_sets(
+        fp, ref.feats, ref.desc, mov.feats, mov.desc, key
+    )
+    score, nb = occupancy_overlap_score(ref, mov, res.T, resolution)
+    score = jnp.where(res.valid, score, 1.0)
+    return res.T, score, res.valid, nb
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fp", "resolution")
+)
+def compute_links_batch(
+    fp: FeatureParams,
+    resolution: float,
+    nodes: NodeData,          # stacked (N, ...)
+    pair_ref,                 # (P,) int32
+    pair_mov,                 # (P,) int32
+    pair_mask,                # (P,) bool
+    key,
+) -> LinkSet:
+    """All-pairs link proposal in one vmapped batch
+    (computeAllPossibleLinks, ndt_feature_graph.cpp:395-405)."""
+    keys = jax.random.split(key, pair_ref.shape[0])
+
+    def one(i, j, k):
+        ref = jax.tree.map(lambda x: x[i], nodes)
+        mov = jax.tree.map(lambda x: x[j], nodes)
+        T, score, valid, _ = compute_link.__wrapped__(
+            fp, resolution, ref, mov, k
+        )
+        return T, score, valid
+
+    T, score, valid = jax.vmap(one)(pair_ref, pair_mov, keys)
+    eye = jnp.tile(jnp.eye(3)[None] * 0.05, (pair_ref.shape[0], 1, 1))
+    return LinkSet(
+        ref=pair_ref,
+        mov=pair_mov,
+        T=T,
+        cov=eye,
+        score=score,
+        mask=pair_mask & valid,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("map_params", "m"))
+def refine_links_d2d(
+    map_params: NDTMapParams,
+    m: MatcherParams,
+    nodes: NodeData,
+    links: LinkSet,
+) -> LinkSet:
+    """NDT D2D refinement of every link + covariance from the Hessian
+    (updateLinksUsingNDTRegistration, ndt_feature_graph.cpp:260-345)."""
+
+    def one(ref_i, mov_i, T0, lmask):
+        ref = jax.tree.map(lambda x: x[ref_i], nodes)
+        mov = jax.tree.map(lambda x: x[mov_i], nodes)
+
+        def score_fn(d):
+            return d2d.d2d_score_dense(
+                d, T0, mov.cells, ref.target, map_params, m
+            )
+
+        d, score, itr, conv = d2d.newton_match(score_fn, jnp.zeros(3), m)
+        T = se2.compose(d, T0)
+        H = jax.jacfwd(jax.grad(score_fn))(d)
+        evals, evecs = jnp.linalg.eigh(H)
+        evals = jnp.maximum(evals, 1e-4)
+        cov = (evecs / evals[None, :]) @ evecs.T
+        return T, cov, conv
+
+    T, cov, conv = jax.vmap(one)(
+        links.ref, links.mov, links.T, links.mask
+    )
+    return links._replace(T=T, cov=cov, mask=links.mask & conv)
+
+
+def rescore_links(
+    resolution: float, nodes: NodeData, links: LinkSet
+) -> LinkSet:
+    """Recompute occupancy-overlap scores for (possibly refined) link
+    transforms."""
+
+    def one(ref_i, mov_i, T):
+        ref = jax.tree.map(lambda x: x[ref_i], nodes)
+        mov = jax.tree.map(lambda x: x[mov_i], nodes)
+        s, _ = occupancy_overlap_score(ref, mov, T, resolution)
+        return s
+
+    score = jax.vmap(one)(links.ref, links.mov, links.T)
+    return links._replace(score=score)
+
+
+@functools.partial(jax.jit, static_argnames=("gp",))
+def valid_links(
+    gp: GraphParams, node_T, links: LinkSet
+) -> jnp.ndarray:
+    """Validation gates (getValidLinks, ndt_feature_graph.cpp:527-556 +
+    CLI defaults graph_opt.cpp:49-52): overlap score, consistency with
+    the current global estimate, minimum index separation.  Returns a
+    bool mask over links."""
+    Tg = se2.sub(node_T[links.ref], node_T[links.mov])  # expected rel
+    d = jnp.linalg.norm(links.T[:, :2] - Tg[:, :2], axis=-1)
+    a = jnp.abs(se2.normalize_angle(links.T[:, 2] - Tg[:, 2]))
+    idx_dist = jnp.abs(links.ref - links.mov)
+    return (
+        links.mask
+        & (links.score <= gp.valid_max_score)
+        & (d <= gp.valid_max_dist)
+        & (a <= gp.valid_max_angular_dist)
+        & (idx_dist >= gp.valid_min_idx_dist)
+    )

@@ -1,0 +1,127 @@
+"""Frozen submap node data (NDTFeatureNode equivalent,
+ndt_feature_node.h:38-257).
+
+A node is one completed submap: its global pose `T`, the fuser's local
+odometry/fusion poses, the finalized NDT fields (dense, for use as a
+registration *target*), the compacted gaussian cell list (for use as a
+registration *source*), occupancy, and the accumulated node feature map
+(NDTFeatureMap, ndt_feature_map.h:51-122).  All device arrays, uniform
+shapes across nodes so node sets stack into (N, ...) batches for
+vmapped link proposal.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ndt_feature_graph_tpu.config import FuserParams
+from ndt_feature_graph_tpu.features.detector import FeatureSet
+from ndt_feature_graph_tpu.fusion import fuser as fuser_mod
+from ndt_feature_graph_tpu.ops import d2d, ndt_map
+
+
+class NodeData(NamedTuple):
+    T: jnp.ndarray             # (3,) node frame -> global
+    Tlocal_odom: jnp.ndarray   # (3,)
+    Tlocal_fuse: jnp.ndarray   # (3,)
+    target: d2d.DenseTarget    # finalized NDT fields (node frame)
+    cells: ndt_map.CellList    # compacted gaussians (node frame)
+    occ_origin: jnp.ndarray    # (2,)
+    occ: jnp.ndarray           # (H, W) log-odds
+    feats: FeatureSet          # node feature map (node frame), cap FM
+    desc: jnp.ndarray          # (FM, D)
+
+
+class FeatureMapBuffer(NamedTuple):
+    """Fixed-capacity accumulated feature map for the active node
+    (NDTFeatureMap::update appends every 4th scan,
+    ndt_feature_map.h:64)."""
+
+    feats: FeatureSet          # (FM, ...) node-frame interest points
+    desc: jnp.ndarray          # (FM, D)
+    write_idx: jnp.ndarray     # int32 ring pointer
+
+
+def empty_feature_map(capacity: int, desc_dim: int) -> FeatureMapBuffer:
+    return FeatureMapBuffer(
+        feats=FeatureSet(
+            pts=jnp.zeros((capacity, 2)),
+            angles=jnp.zeros(capacity),
+            scales=jnp.ones(capacity),
+            response=jnp.zeros(capacity),
+            mask=jnp.zeros(capacity, bool),
+        ),
+        desc=jnp.full((capacity, desc_dim), 0.5),
+        write_idx=jnp.int32(0),
+    )
+
+
+@jax.jit
+def insert_features(
+    buf: FeatureMapBuffer, feats: FeatureSet, desc, node_pose
+):
+    """Append one scan's features (sensor frame) into the node feature
+    map, transformed by `node_pose` (vehicle-in-node ∘ sensor pose).
+    Ring-buffer overwrite beyond capacity."""
+    moved = feats.transform(node_pose)
+    f = feats.mask.shape[0]
+    cap = buf.feats.mask.shape[0]
+    # Target slots: ring positions for each incoming feature; invalid
+    # incoming features write to their own old position (no-op merge by
+    # writing existing content is not possible, so route them to a
+    # scratch slot scheme: write only where incoming mask is set, by
+    # keeping old values otherwise).
+    slots = (buf.write_idx + jnp.arange(f)) % cap
+
+    def scatter(old, new):
+        upd = old.at[slots].set(jnp.where(
+            feats.mask.reshape((f,) + (1,) * (new.ndim - 1)),
+            new,
+            old[slots],
+        ))
+        return upd
+
+    new_feats = FeatureSet(
+        pts=scatter(buf.feats.pts, moved.pts),
+        angles=scatter(buf.feats.angles, moved.angles),
+        scales=scatter(buf.feats.scales, moved.scales),
+        response=scatter(buf.feats.response, moved.response),
+        mask=scatter(buf.feats.mask, moved.mask),
+    )
+    new_desc = scatter(buf.desc, desc)
+    n_in = jnp.sum(feats.mask).astype(jnp.int32)
+    return FeatureMapBuffer(
+        feats=new_feats,
+        desc=new_desc,
+        write_idx=(buf.write_idx + n_in) % cap,
+    )
+
+
+def freeze_node(
+    params: FuserParams,
+    node_T,
+    fstate: fuser_mod.FuserState,
+    fmap: FeatureMapBuffer,
+) -> NodeData:
+    """Archive the active fuser into an immutable NodeData."""
+    target = d2d.make_dense_target(fstate.grid, params.ndt)
+    cells = ndt_map.to_cell_list(fstate.grid, params.ndt)
+    return NodeData(
+        T=jnp.asarray(node_T, jnp.float32),
+        Tlocal_odom=fstate.Todom,
+        Tlocal_fuse=fstate.Tnow,
+        target=target,
+        cells=cells,
+        occ_origin=fstate.grid.origin,
+        occ=fstate.grid.occ,
+        feats=fmap.feats,
+        desc=fmap.desc,
+    )
+
+
+def stack_nodes(nodes: list) -> NodeData:
+    """Stack a host-side node list into (N, ...) batched NodeData."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *nodes)

@@ -1,0 +1,272 @@
+"""Graph-SLAM orchestrator: online submap chaining + offline
+loop-closure optimization.
+
+Host-side equivalent of NDTFeatureGraph (+Logger)
+(ndt_feature_graph.cpp:24-144: distance-gated node splitting, per-node
+fuser updates in the node-local frame) and of the offline optimizer CLI
+(ndt_feature_graph_opt.cpp:29-210: all-pairs link proposal → D2D refine
+→ validate → iterate iSAM until the valid-link set reaches a fixpoint).
+
+The per-scan hot path stays fully jitted (feature_fuser.update); only
+the rare node-split event and the offline phase run host-side control
+flow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ndt_feature_graph_tpu.config import GraphParams, FuserParams, SLAMParams
+from ndt_feature_graph_tpu.core import motion_model, se2
+from ndt_feature_graph_tpu.fusion import feature_fuser, fuser
+from ndt_feature_graph_tpu.graph import links as links_mod
+from ndt_feature_graph_tpu.graph import node as node_mod
+from ndt_feature_graph_tpu.graph import optimize as opt_mod
+
+FEATURE_MAP_CAPACITY = 128
+
+
+class NDTFeatureGraphSLAM:
+    """Online graph builder.  Not a pytree — a thin host orchestrator
+    over jitted kernels."""
+
+    def __init__(self, params: SLAMParams, seed: int = 0):
+        self.params = params
+        self.nodes: List[node_mod.NodeData] = []   # frozen nodes
+        self.node_T: List[np.ndarray] = []         # global pose per node
+        self.odom_edges: List[tuple] = []          # (i, j, rel, cov)
+        self.state: Optional[feature_fuser.FeatureFuserState] = None
+        self.fmap = None
+        self.current_T = np.zeros(3, np.float32)   # active node origin
+        self.distance_moved = 0.0
+        self.n_updates_in_node = 0
+        self._key = jax.random.PRNGKey(seed)
+        self.trajectory: List[np.ndarray] = []     # global pose log
+        self.times: List[float] = []
+
+    # ---------------- online ----------------
+
+    def _split_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def initialize(self, init_pose, sensor_pose, ranges, hit, t=0.0):
+        p = self.params.fuser
+        self.current_T = np.asarray(init_pose, np.float32)
+        # Fuser runs in the node-local frame (identity init), like
+        # new_node.map->initialize(identity, ...) at graph.cpp:100-105.
+        self.state = feature_fuser.initialize(
+            p, jnp.zeros(3), jnp.asarray(sensor_pose, jnp.float32),
+            ranges, hit, self._split_key(),
+        )
+        fp = p.features
+        self.fmap = node_mod.empty_feature_map(
+            FEATURE_MAP_CAPACITY, fp.rho_bins * fp.phi_bins
+        )
+        self._accumulate_features()
+        self.trajectory.append(self.current_T.copy())
+        self.times.append(t)
+
+    def _accumulate_features(self):
+        """Insert the active scan's features into the node feature map
+        (in node frame)."""
+        st = self.state
+        node_pose = se2.compose(st.base.Tnow, st.base.sensor_pose)
+        self.fmap = node_mod.insert_features(
+            self.fmap, st.prev_feats, st.prev_desc, node_pose
+        )
+
+    def global_pose(self):
+        return np.asarray(
+            se2.compose(jnp.asarray(self.current_T), self.state.base.Tnow)
+        )
+
+    def update(self, Tmotion, ranges, hit, t=0.0):
+        """One scan (NDTFeatureGraph::update, graph.cpp:60-144)."""
+        p = self.params.fuser
+        gp = self.params.graph
+        Tmotion = jnp.asarray(Tmotion, jnp.float32)
+        self.distance_moved += float(jnp.linalg.norm(Tmotion[:2]))
+
+        if self.distance_moved > gp.new_node_transl_dist and (
+            len(self.nodes) + 1 < gp.max_nodes
+        ):
+            self._split_node(Tmotion, ranges, hit)
+        else:
+            self.state, info, res = feature_fuser.update(
+                self.state, p, Tmotion, ranges, hit
+            )
+            self.n_updates_in_node += 1
+            if (
+                self.n_updates_in_node % p.feature_map_update_incr == 0
+            ):
+                self._accumulate_features()
+
+        pose = self.global_pose()
+        self.trajectory.append(pose)
+        self.times.append(t)
+        return pose
+
+    def _split_node(self, Tmotion, ranges, hit):
+        """Freeze the active node, chain a new one
+        (graph.cpp:72-117)."""
+        p = self.params.fuser
+        self.distance_moved = 0.0
+        # Last update into the old node (without feature-map update).
+        self.state, info, res = feature_fuser.update(
+            self.state, p, Tmotion, ranges, hit
+        )
+        node_idx = len(self.nodes)
+        frozen = node_mod.freeze_node(
+            p, jnp.asarray(self.current_T), self.state.base, self.fmap
+        )
+        self.nodes.append(frozen)
+        self.node_T.append(self.current_T.copy())
+
+        # Global pose of the vehicle right now -> new node origin.
+        Tnow_local = self.state.base.Tnow
+        new_T = np.asarray(
+            se2.compose(jnp.asarray(self.current_T), Tnow_local)
+        )
+        # Odometry edge between consecutive node origins: relative pose
+        # + motion-model covariance over the accumulated local motion.
+        rel = np.asarray(Tnow_local)
+        cov = np.asarray(
+            motion_model.measurement_cov(
+                p.motion, jnp.asarray(rel)
+            )
+        ) + np.diag([1e-4, 1e-4, 1e-4])
+        self.odom_edges.append((node_idx, node_idx + 1, rel, cov))
+
+        # Fresh fuser in the new node frame, seeded with this scan.
+        self.current_T = new_T
+        self.state = feature_fuser.initialize(
+            p, jnp.zeros(3), self.state.base.sensor_pose, ranges, hit,
+            self._split_key(),
+        )
+        fp = p.features
+        self.fmap = node_mod.empty_feature_map(
+            FEATURE_MAP_CAPACITY, fp.rho_bins * fp.phi_bins
+        )
+        self._accumulate_features()
+        self.n_updates_in_node = 0
+
+    def finalize_current_node(self):
+        """Freeze the active node without starting a new one (end of
+        sequence)."""
+        p = self.params.fuser
+        frozen = node_mod.freeze_node(
+            p, jnp.asarray(self.current_T), self.state.base, self.fmap
+        )
+        self.nodes.append(frozen)
+        self.node_T.append(np.asarray(self.current_T))
+
+    # ---------------- offline ----------------
+
+    def candidate_pairs(self):
+        """All node pairs (i < j) with index distance >= the validation
+        minimum — padded arrays."""
+        gp = self.params.graph
+        n = len(self.nodes)
+        pairs = [
+            (i, j)
+            for i in range(n)
+            for j in range(i + 1, n)
+            if j - i >= gp.valid_min_idx_dist
+        ]
+        cap = max(len(pairs), 1)
+        ref = np.zeros(cap, np.int32)
+        mov = np.zeros(cap, np.int32)
+        mask = np.zeros(cap, bool)
+        for k, (i, j) in enumerate(pairs):
+            ref[k], mov[k], mask[k] = i, j, True
+        return jnp.asarray(ref), jnp.asarray(mov), jnp.asarray(mask)
+
+    def _edges_from(self, link_set, link_keep, node_T):
+        """Combine odometry edges + kept loop-closure links into an
+        EdgeList (the iSAM bridge adds odometry links first, then valid
+        links, ndt_offline_mapper.h:74-93)."""
+        e_i, e_j, e_meas, e_info = [], [], [], []
+        n = len(self.nodes)
+        for (i, j, rel, cov) in self.odom_edges:
+            if j >= n:
+                continue  # dangling edge: current node never frozen
+            e_i.append(i)
+            e_j.append(j)
+            e_meas.append(rel)
+            e_info.append(np.linalg.inv(cov))
+        if link_set is not None:
+            keep = np.asarray(link_keep)
+            for k in range(keep.shape[0]):
+                if not keep[k]:
+                    continue
+                # Link T maps mov-node frame -> ref-node frame: that IS
+                # the pose of mov in ref's frame.
+                e_i.append(int(link_set.ref[k]))
+                e_j.append(int(link_set.mov[k]))
+                e_meas.append(np.asarray(link_set.T[k]))
+                cov = np.asarray(link_set.cov[k])
+                e_info.append(np.linalg.inv(cov + 1e-6 * np.eye(3)))
+        e = len(e_i)
+        return opt_mod.EdgeList(
+            i=jnp.asarray(np.asarray(e_i, np.int32)),
+            j=jnp.asarray(np.asarray(e_j, np.int32)),
+            meas=jnp.asarray(np.asarray(e_meas, np.float32)),
+            info=jnp.asarray(np.asarray(e_info, np.float32)),
+            mask=jnp.ones(e, bool),
+        )
+
+    def optimize_offline(self, verbose=False):
+        """Full offline pipeline (ndt_feature_graph_opt.cpp:91-210):
+        all-pairs feature links → D2D refine → rescore → fixpoint loop
+        {validate → solve}.  Returns optimized node poses (N, 3)."""
+        p = self.params.fuser
+        gp = self.params.graph
+        if len(self.nodes) < 2:
+            return jnp.asarray(np.stack(self.node_T))
+
+        stacked = node_mod.stack_nodes(self.nodes)
+        ref, mov, mask = self.candidate_pairs()
+        link_set = links_mod.compute_links_batch(
+            p.features, p.ndt.resolution, stacked, ref, mov, mask,
+            self._split_key(),
+        )
+        link_set = links_mod.refine_links_d2d(
+            p.ndt, p.matcher, stacked, link_set
+        )
+        link_set = links_mod.rescore_links(
+            p.ndt.resolution, stacked, link_set
+        )
+
+        node_T = jnp.asarray(np.stack(self.node_T))
+        prev_keep = None
+        for round_idx in range(gp.fixpoint_max_rounds):
+            keep = links_mod.valid_links(gp, node_T, link_set)
+            keep_np = np.asarray(keep)
+            if verbose:
+                print(
+                    f"fixpoint round {round_idx}: "
+                    f"{int(keep_np.sum())} valid links"
+                )
+            if prev_keep is not None and (keep_np == prev_keep).all():
+                break
+            prev_keep = keep_np
+            edges = self._edges_from(link_set, keep_np, node_T)
+            node_T, chi2 = opt_mod.optimize(
+                node_T,
+                edges,
+                prior_information=gp.prior_information,
+                iterations=gp.gn_iterations,
+                damping=gp.gn_damping,
+            )
+        self.node_T = [np.asarray(t) for t in np.asarray(node_T)]
+        return node_T
+
+    def optimized_trajectory(self):
+        """Node-origin trajectory after optimization."""
+        return np.stack(self.node_T)
