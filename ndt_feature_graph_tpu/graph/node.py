@@ -125,3 +125,38 @@ def freeze_node(
 def stack_nodes(nodes: list) -> NodeData:
     """Stack a host-side node list into (N, ...) batched NodeData."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *nodes)
+
+
+def empty_node(params: FuserParams, fm_capacity: int) -> NodeData:
+    """Shape template for (de)serialization."""
+    h, w = params.ndt.grid_h, params.ndt.grid_w
+    mc = params.ndt.max_cells
+    fp = params.features
+    d = fp.rho_bins * fp.phi_bins
+    z3 = jnp.zeros(3)
+    return NodeData(
+        T=z3,
+        Tlocal_odom=z3,
+        Tlocal_fuse=z3,
+        target=d2d.DenseTarget(
+            origin=jnp.zeros(2),
+            means=jnp.zeros((h, w, 2)),
+            covs=jnp.zeros((h, w, 2, 2)),
+            valid=jnp.zeros((h, w), bool),
+        ),
+        cells=ndt_map.CellList(
+            means=jnp.zeros((mc, 2)),
+            covs=jnp.zeros((mc, 2, 2)),
+            mask=jnp.zeros(mc, bool),
+        ),
+        occ_origin=jnp.zeros(2),
+        occ=jnp.zeros((h, w)),
+        feats=FeatureSet(
+            pts=jnp.zeros((fm_capacity, 2)),
+            angles=jnp.zeros(fm_capacity),
+            scales=jnp.ones(fm_capacity),
+            response=jnp.zeros(fm_capacity),
+            mask=jnp.zeros(fm_capacity, bool),
+        ),
+        desc=jnp.full((fm_capacity, d), 0.5),
+    )

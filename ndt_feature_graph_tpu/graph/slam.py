@@ -270,3 +270,86 @@ class NDTFeatureGraphSLAM:
     def optimized_trajectory(self):
         """Node-origin trajectory after optimization."""
         return np.stack(self.node_T)
+
+    # ---------------- checkpointing ----------------
+
+    def save(self, path):
+        """Checkpoint the frozen graph (nodes + edges + trajectory) to
+        one npz (the TPU-native .jff/.feat/.T + NDTGraphMsg equivalent,
+        SURVEY.md §5 checkpoint/resume)."""
+        from ndt_feature_graph_tpu.io import serialize
+
+        if not self.nodes:
+            raise ValueError("nothing to save: no frozen nodes")
+        odom = self.odom_edges or [(0, 0, np.zeros(3), np.eye(3))]
+        tree = {
+            "nodes": node_mod.stack_nodes(self.nodes),
+            "node_T": jnp.asarray(np.stack(self.node_T)),
+            "odom_i": jnp.asarray([e[0] for e in odom], jnp.int32),
+            "odom_j": jnp.asarray([e[1] for e in odom], jnp.int32),
+            "odom_rel": jnp.asarray(
+                np.stack([e[2] for e in odom]), jnp.float32
+            ),
+            "odom_cov": jnp.asarray(
+                np.stack([e[3] for e in odom]), jnp.float32
+            ),
+            "n_odom": jnp.int32(len(self.odom_edges)),
+            "trajectory": jnp.asarray(np.stack(self.trajectory)),
+            "times": jnp.asarray(np.asarray(self.times, np.float32)),
+        }
+        serialize.save_pytree(path, tree)
+
+    @classmethod
+    def load(cls, path, params: SLAMParams):
+        """Rebuild a graph (offline-phase capable) from a checkpoint."""
+        from ndt_feature_graph_tpu.io import serialize
+        import numpy as _np
+
+        data = _np.load(path)
+        n_nodes = data["node_T"].shape[0]
+        n_odom = int(data["n_odom"])
+        template_node = node_mod.empty_node(
+            params.fuser, FEATURE_MAP_CAPACITY
+        )
+        stacked_template = jax.tree.map(
+            lambda x: jnp.stack([x] * n_nodes), template_node
+        )
+        n_edges = data["odom_i"].shape[0]
+        template = {
+            "nodes": stacked_template,
+            "node_T": jnp.zeros((n_nodes, 3)),
+            "odom_i": jnp.zeros(n_edges, jnp.int32),
+            "odom_j": jnp.zeros(n_edges, jnp.int32),
+            "odom_rel": jnp.zeros((n_edges, 3)),
+            "odom_cov": jnp.zeros((n_edges, 3, 3)),
+            "n_odom": jnp.int32(0),
+            "trajectory": jnp.zeros(
+                (data["trajectory"].shape[0], 3)
+            ),
+            "times": jnp.zeros(data["times"].shape[0]),
+        }
+        tree = serialize.load_pytree(path, template)
+
+        slam = cls(params)
+        stacked = tree["nodes"]
+        slam.nodes = [
+            jax.tree.map(lambda x, k=k: x[k], stacked)
+            for k in range(n_nodes)
+        ]
+        slam.node_T = [
+            np.asarray(t) for t in np.asarray(tree["node_T"])
+        ]
+        slam.odom_edges = [
+            (
+                int(tree["odom_i"][k]),
+                int(tree["odom_j"][k]),
+                np.asarray(tree["odom_rel"][k]),
+                np.asarray(tree["odom_cov"][k]),
+            )
+            for k in range(n_odom)
+        ]
+        slam.trajectory = [
+            np.asarray(t) for t in np.asarray(tree["trajectory"])
+        ]
+        slam.times = list(np.asarray(tree["times"]))
+        return slam

@@ -116,6 +116,26 @@ def simulate_sequence(
     return Sequence(ranges=ranges, hit=hits, odom=odom, gt=gt)
 
 
+def save_sequence(path, seq: Sequence):
+    np.savez_compressed(
+        path,
+        ranges=np.asarray(seq.ranges),
+        hit=np.asarray(seq.hit),
+        odom=np.asarray(seq.odom),
+        gt=np.asarray(seq.gt),
+    )
+
+
+def load_sequence(path) -> Sequence:
+    d = np.load(path)
+    return Sequence(
+        ranges=jnp.asarray(d["ranges"]),
+        hit=jnp.asarray(d["hit"]),
+        odom=jnp.asarray(d["odom"]),
+        gt=jnp.asarray(d["gt"]),
+    )
+
+
 def loop_trajectory(n_steps=120, radius=5.0, center=(0.0, -0.5)):
     """A closed loop around the room (revisits the start — exercises
     loop closure)."""
