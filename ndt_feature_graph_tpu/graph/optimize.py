@@ -66,6 +66,38 @@ def _edge_jacobians(Ti, Tj, meas):
     return Ji, Jj
 
 
+def assemble_normal_equations(p, edges: EdgeList, n: int):
+    """Batched factor linearization into dense block normal equations.
+
+    Returns H (n, n, 3, 3) and b (n, 3).  This is the unit of work that
+    shards over a device mesh: edge subsets produce *additive*
+    contributions, so a psum over per-shard results reconstructs the
+    global system exactly (parallel/solver_sharded.py).
+    """
+    Ti = p[edges.i]
+    Tj = p[edges.j]
+    r = edge_residual(Ti, Tj, edges.meas)
+    Ji, Jj = jax.vmap(_edge_jacobians)(Ti, Tj, edges.meas)
+
+    w = edges.mask[:, None, None].astype(p.dtype)
+    info = edges.info * w
+    Hii = jnp.einsum("eki,ekl,elj->eij", Ji, info, Ji)
+    Hjj = jnp.einsum("eki,ekl,elj->eij", Jj, info, Jj)
+    Hij = jnp.einsum("eki,ekl,elj->eij", Ji, info, Jj)
+    bi = jnp.einsum("eki,ekl,el->ei", Ji, info, r)
+    bj = jnp.einsum("eki,ekl,el->ei", Jj, info, r)
+
+    H = jnp.zeros((n, n, 3, 3), p.dtype)
+    H = H.at[edges.i, edges.i].add(Hii)
+    H = H.at[edges.j, edges.j].add(Hjj)
+    H = H.at[edges.i, edges.j].add(Hij)
+    H = H.at[edges.j, edges.i].add(jnp.swapaxes(Hij, -1, -2))
+    b = jnp.zeros((n, 3), p.dtype)
+    b = b.at[edges.i].add(bi)
+    b = b.at[edges.j].add(bj)
+    return H, b
+
+
 @functools.partial(jax.jit, static_argnames=("iterations",))
 def optimize(
     poses,
@@ -93,28 +125,7 @@ def optimize(
         return c + prior_information * jnp.dot(rp, rp)
 
     def gn_step(p, _):
-        Ti = p[edges.i]
-        Tj = p[edges.j]
-        r = edge_residual(Ti, Tj, edges.meas)
-        Ji, Jj = jax.vmap(_edge_jacobians)(Ti, Tj, edges.meas)
-
-        w = edges.mask[:, None, None].astype(p.dtype)
-        info = edges.info * w
-        # Normal-equation blocks.
-        Hii = jnp.einsum("eki,ekl,elj->eij", Ji, info, Ji)
-        Hjj = jnp.einsum("eki,ekl,elj->eij", Jj, info, Jj)
-        Hij = jnp.einsum("eki,ekl,elj->eij", Ji, info, Jj)
-        bi = jnp.einsum("eki,ekl,el->ei", Ji, info, r)
-        bj = jnp.einsum("eki,ekl,el->ei", Jj, info, r)
-
-        H = jnp.zeros((n, n, 3, 3), p.dtype)
-        H = H.at[edges.i, edges.i].add(Hii)
-        H = H.at[edges.j, edges.j].add(Hjj)
-        H = H.at[edges.i, edges.j].add(Hij)
-        H = H.at[edges.j, edges.i].add(jnp.swapaxes(Hij, -1, -2))
-        b = jnp.zeros((n, 3), p.dtype)
-        b = b.at[edges.i].add(bi)
-        b = b.at[edges.j].add(bj)
+        H, b = assemble_normal_equations(p, edges, n)
 
         # Prior on node 0.
         rp = p[0] - prior_pose
