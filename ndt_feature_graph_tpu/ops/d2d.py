@@ -143,14 +143,31 @@ class NewtonResult(NamedTuple):
     converged: jnp.ndarray   # bool — gradient vanished within budget
 
 
+def _min_eig_sym3(H):
+    """Smallest eigenvalue of a symmetric 3x3 matrix, closed form
+    (trigonometric method) — avoids jnp.linalg.eigh in the hot loop."""
+    q = jnp.trace(H) / 3.0
+    B = H - q * jnp.eye(3, dtype=H.dtype)
+    p2 = jnp.sum(B * B) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    detB = jnp.linalg.det(B)
+    r = jnp.clip(detB / (2.0 * p * p * p), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    # Eigenvalues are q + 2p*cos(phi + 2k*pi/3); the smallest uses
+    # k = 1 shifted by 2pi/3 twice.
+    lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    return jnp.where(p2 < 1e-28, q, lam_min)
+
+
 def _psd_project(H):
-    """Project the Hessian onto the PSD cone by clamping eigenvalues at
-    zero (trust-region analogue of the reference's eigenvalue shift,
-    fusion.h:922-940; the subsequent LM damping supplies the positive
-    shift adaptively)."""
-    evals, evecs = jnp.linalg.eigh(H)
-    evals = jnp.maximum(evals, 0.0)
-    return (evecs * evals[None, :]) @ evecs.T
+    """Shift the Hessian to be PSD (trust-region analogue of the
+    reference's eigenvalue regularization, fusion.h:922-940; the LM
+    damping supplies the rest of the positive shift adaptively).
+    Diagonal shift by the negative part of the smallest eigenvalue —
+    closed form, no factorization."""
+    lam_min = _min_eig_sym3(H)
+    shift = jnp.maximum(-lam_min, 0.0)
+    return H + shift * jnp.eye(3, dtype=H.dtype)
 
 
 def newton_match(
@@ -178,12 +195,13 @@ def newton_match(
     lam_max = jnp.float32(1e7)
     eye = jnp.eye(3, dtype=jnp.float32)
 
-    def cond(state):
+    # Fixed-trip scan with masked updates instead of lax.while_loop:
+    # dynamic trip counts serialize badly on TPU (each while iteration
+    # pays a sync/dispatch overhead ~20x the 3-DoF math), whereas a
+    # static unrolled scan pipelines; converged iterations are frozen
+    # by the `stop` mask at negligible cost.
+    def body(state, _):
         d, f, lam, best_d, best_f, itr, stop = state
-        return (~stop) & (itr < max_trials)
-
-    def body(state):
-        d, f, lam, best_d, best_f, itr, _ = state
         g = grad_fn(d)
         H = _psd_project(hess_fn(d))
         gnorm = jnp.linalg.norm(g)
@@ -193,7 +211,7 @@ def newton_match(
         f_new = score_fn(d + delta)
         # Sufficient decrease (Armijo against the model's directional
         # derivative).
-        accept = f_new <= f + 1e-4 * jnp.dot(delta, g)
+        accept = (f_new <= f + 1e-4 * jnp.dot(delta, g)) & ~stop
 
         d_new = jnp.where(accept, d + delta, d)
         f_next = jnp.where(accept, f_new, f)
@@ -201,6 +219,7 @@ def newton_match(
             lam_new = jnp.where(
                 accept, jnp.maximum(lam * 0.33, lam_min), lam * 6.0
             )
+            lam_new = jnp.where(stop, lam, lam_new)
         else:
             lam_new = lam_min
 
@@ -208,8 +227,17 @@ def newton_match(
         best_f2 = jnp.where(better, f_next, best_f)
         best_d2 = jnp.where(better, d_new, best_d)
 
-        stop = grad_vanished | (lam_new > lam_max)
-        return (d_new, f_next, lam_new, best_d2, best_f2, itr + 1, stop)
+        # Convergence: gradient vanished, damping exhausted, or an
+        # accepted step no longer improves the score by DELTA_SCORE
+        # (the reference's score-delta test, fusion.h:1070-1079).
+        score_converged = accept & (f - f_new <= m.delta_score)
+        stop_new = stop | grad_vanished | (lam_new > lam_max) | (
+            score_converged
+        )
+        itr_new = jnp.where(stop, itr, itr + 1)
+        return (
+            d_new, f_next, lam_new, best_d2, best_f2, itr_new, stop_new
+        ), None
 
     d0 = jnp.asarray(d_init, jnp.float32)
     f0 = score_fn(d0)
@@ -222,8 +250,8 @@ def newton_match(
         jnp.int32(0),
         jnp.bool_(False),
     )
-    d, f, lam, best_d, best_f, itr, stop = jax.lax.while_loop(
-        cond, body, init
+    (d, f, lam, best_d, best_f, itr, stop), _ = jax.lax.scan(
+        body, init, None, length=max_trials
     )
 
     # Best fallback (fusion.h:945-952 "crap iterations" path).
