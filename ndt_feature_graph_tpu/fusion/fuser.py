@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ndt_feature_graph_tpu.config import FuserParams, NDTMapParams
 from ndt_feature_graph_tpu.core import motion_model, se2
-from ndt_feature_graph_tpu.ops import d2d, ndt_map
+from ndt_feature_graph_tpu.ops import d2d, d2d_analytic, ndt_map
 from ndt_feature_graph_tpu.ops.ndt_map import CellList, NDTGrid
 
 
@@ -152,7 +152,31 @@ def update(
             s = s + d2d.mahalanobis_score(d, Q)
         return s
 
-    d, score, itr, conv = d2d.newton_match(score_fn, jnp.zeros(3), m)
+    def fgh_fn(d):
+        """Single-pass analytic derivatives (ops/d2d_analytic.py) —
+        the `derivativesNDT` fast path; verified against autodiff in
+        tests/test_d2d_analytic.py."""
+        f = jnp.float32(0.0)
+        g = jnp.zeros(3)
+        H = jnp.zeros((3, 3))
+        if m.use_ndt:
+            f1, g1, H1 = d2d_analytic.fgh_dense(
+                d, T_pred, src, tgt, lp, m
+            )
+            f, g, H = f + f1, g + g1, H + H1
+        if use_feat:
+            f2, g2, H2 = d2d_analytic.fgh_paired(
+                d, T_pred, feat_src, feat_tgt, m
+            )
+            f, g, H = f + f2, g + g2, H + H2
+        if m.use_odom:
+            f3, g3, H3 = d2d_analytic.fgh_mahalanobis(d, Q)
+            f, g, H = f + f3, g + g3, H + H3
+        return f, g, H
+
+    d, score, itr, conv = d2d.newton_match(
+        score_fn, jnp.zeros(3), m, fgh_fn=fgh_fn
+    )
     T_est = se2.compose(
         jnp.stack([d[0], d[1], d[2]]), T_pred
     )

@@ -22,7 +22,7 @@ from ndt_feature_graph_tpu.config import FeatureParams, GraphParams, MatcherPara
 from ndt_feature_graph_tpu.core import se2
 from ndt_feature_graph_tpu.features import ransac
 from ndt_feature_graph_tpu.graph.node import NodeData
-from ndt_feature_graph_tpu.ops import d2d
+from ndt_feature_graph_tpu.ops import d2d, d2d_analytic
 
 
 class LinkSet(NamedTuple):
@@ -151,9 +151,16 @@ def refine_links_d2d(
                 d, T0, mov.cells, ref.target, map_params, m
             )
 
-        d, score, itr, conv = d2d.newton_match(score_fn, jnp.zeros(3), m)
+        def fgh_fn(d):
+            return d2d_analytic.fgh_dense(
+                d, T0, mov.cells, ref.target, map_params, m
+            )
+
+        d, score, itr, conv = d2d.newton_match(
+            score_fn, jnp.zeros(3), m, fgh_fn
+        )
         T = se2.compose(d, T0)
-        H = jax.jacfwd(jax.grad(score_fn))(d)
+        _, _, H = fgh_fn(d)
         evals, evecs = jnp.linalg.eigh(H)
         evals = jnp.maximum(evals, 1e-4)
         cov = (evecs / evals[None, :]) @ evecs.T

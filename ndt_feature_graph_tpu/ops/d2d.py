@@ -171,7 +171,7 @@ def _psd_project(H):
 
 
 def newton_match(
-    score_fn, d_init, m: MatcherParams
+    score_fn, d_init, m: MatcherParams, fgh_fn=None
 ) -> tuple:
     """Generic jitted damped-Newton (Levenberg-Marquardt) minimizer over
     the 3-DoF increment.
@@ -188,8 +188,13 @@ def newton_match(
 
     Returns (d, score_best, trials, converged).
     """
-    grad_fn = jax.grad(score_fn)
-    hess_fn = jax.jacfwd(jax.grad(score_fn))
+    if fgh_fn is None:
+        grad_fn = jax.grad(score_fn)
+        hess_fn = jax.jacfwd(jax.grad(score_fn))
+
+        def fgh_fn(dd):
+            return score_fn(dd), grad_fn(dd), hess_fn(dd)
+
     max_trials = 2 * m.itr_max
     lam_min = jnp.float32(1e-6)
     lam_max = jnp.float32(1e7)
@@ -202,8 +207,8 @@ def newton_match(
     # by the `stop` mask at negligible cost.
     def body(state, _):
         d, f, lam, best_d, best_f, itr, stop = state
-        g = grad_fn(d)
-        H = _psd_project(hess_fn(d))
+        _, g, H = fgh_fn(d)
+        H = _psd_project(H)
         gnorm = jnp.linalg.norm(g)
         grad_vanished = gnorm <= m.delta_score
 
@@ -272,10 +277,15 @@ def match_d2d(
     """Plain D2D registration (NDTMatcherD2D::match equivalent, used for
     link refinement at ndt_feature_graph.cpp:273)."""
 
+    from ndt_feature_graph_tpu.ops import d2d_analytic
+
     def score_fn(d):
         return d2d_score_dense(d, T_init, src, tgt, map_params, m)
 
-    d, f, itr, conv = newton_match(score_fn, jnp.zeros(3), m)
+    def fgh_fn(d):
+        return d2d_analytic.fgh_dense(d, T_init, src, tgt, map_params, m)
+
+    d, f, itr, conv = newton_match(score_fn, jnp.zeros(3), m, fgh_fn)
     return NewtonResult(
         d=d,
         T=_apply_increment(d, T_init),
@@ -297,10 +307,11 @@ def covariance_d2d(
     estimate (NDTMatcherD2D::covariance semantics, used for link
     covariances at ndt_feature_graph.cpp:298-330).  Returns (3, 3)."""
 
-    def score_fn(d):
-        return d2d_score_dense(d, T, src, tgt, map_params, m)
+    from ndt_feature_graph_tpu.ops import d2d_analytic
 
-    H = jax.jacfwd(jax.grad(score_fn))(jnp.zeros(3))
+    _, _, H = d2d_analytic.fgh_dense(
+        jnp.zeros(3), T, src, tgt, map_params, m
+    )
     evals, evecs = jnp.linalg.eigh(H)
     evals = jnp.maximum(evals, 1e-6)
     Hinv = (evecs / evals[None, :]) @ evecs.T

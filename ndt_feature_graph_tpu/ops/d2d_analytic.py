@@ -1,0 +1,227 @@
+"""Analytic D2D derivatives: score + gradient + Hessian in ONE pass
+over cell pairs.
+
+This is the TPU `derivativesNDT` (perception_oru's hand-derived
+Magnusson-2009 derivatives, the hot loop of the reference's Newton
+iteration — SURVEY.md §3.1).  The autodiff path (ops/d2d.py) evaluates
+the cost ~4x per Newton trial (value + reverse pass + 3 forward-over-
+reverse columns); this closed form computes all three quantities in a
+single fused sweep.  ops/d2d.py's autodiff remains the verification
+oracle: tests/test_d2d_analytic.py checks agreement to float tolerance.
+
+Derivation (SE(2) left-increment p = (dx, dy, dtheta) at evaluation
+point d, per pair with T0-pretransformed source gaussians (m, C) and
+target (mu2, S2)):
+    R = R(dtheta), R' = dR/dtheta
+    mu  = R m + t - mu2,         Sig = R C R^T + S2,   A = Sig^{-1}
+    q   = mu^T A mu,             s = -d1 exp(-(d2/2) q)
+    J   = [e_x, e_y, R' m]                        (dmu/dp)
+    S   = R' C R^T + R C R'^T                     (dSig/dtheta)
+    A_t = -A S A                                  (dA/dtheta)
+    q_i   = 2 mu^T A J_i + [i==theta] mu^T A_t mu
+    q_ij  = 2 J_j^T A J_i
+          + [j==t] 2 mu^T A_t J_i + [i==t] 2 mu^T A_t J_j
+          + [i==j==t] (2 mu^T A mu_tt + 4 mu^T A_t mu_t + mu^T A_tt mu)
+      with mu_tt = -R m,  S2d = -2 R C R^T + 2 R' C R'^T,
+           A_tt = 2 A S A S A - A S2d A
+    g_i  = d1 a e^{-aq} q_i,  H_ij = d1 a e^{-aq} (q_ij - a q_i q_j),
+      a = d2/2.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ndt_feature_graph_tpu.config import MatcherParams, NDTMapParams
+from ndt_feature_graph_tpu.ops.d2d import DenseTarget
+from ndt_feature_graph_tpu.ops.ndt_map import CellList
+
+
+def _inv2(Sig):
+    a = Sig[..., 0, 0]
+    b = Sig[..., 0, 1]
+    c = Sig[..., 1, 1]
+    det = jnp.maximum(a * c - b * b, 1e-12)
+    inv_det = 1.0 / det
+    A = jnp.stack(
+        [
+            jnp.stack([c * inv_det, -b * inv_det], -1),
+            jnp.stack([-b * inv_det, a * inv_det], -1),
+        ],
+        -2,
+    )
+    return A
+
+
+def _pair_fgh(mu, Sig, m_rot, Crot, lfd1, lfd2):
+    """Per-pair (score, grad (3,), hess (3, 3)) — batched over leading
+    dims.
+
+    mu: (..., 2) mean difference; Sig: (..., 2, 2) summed covariance;
+    m_rot: the rotation-dependent part of the moved source mean at the
+    evaluation point (moved_mean - d_translation — the left-increment's
+    rotation acts on everything except d's own translation);
+    Crot = rotated source cov.  Derivatives use the rotation generator
+    G = [[0,-1],[1,0]] applied to m_rot/Crot.
+    """
+    A = _inv2(Sig)
+    Amu = jnp.einsum("...ij,...j->...i", A, mu)
+    q = jnp.einsum("...i,...i->...", mu, Amu)
+
+    # Rotation generator applied at the evaluation point:
+    # d/dtheta (R m) = G (R m); d/dtheta (R C R^T) = G K + K G^T, K=RCR^T.
+    gx, gy = -m_rot[..., 1], m_rot[..., 0]          # G (R m)
+    mu_t = jnp.stack([gx, gy], -1)
+    mu_tt = -m_rot
+
+    # S = G K + K G^T with K = Crot (2x2 symmetric).
+    k00 = Crot[..., 0, 0]
+    k01 = Crot[..., 0, 1]
+    k11 = Crot[..., 1, 1]
+    # G K = [[-k10, -k11], [k00, k01]]
+    S = jnp.stack(
+        [
+            jnp.stack([-2.0 * k01, k00 - k11], -1),
+            jnp.stack([k00 - k11, 2.0 * k01], -1),
+        ],
+        -2,
+    )
+    # S2d = d/dtheta S = G S + S G^T = -2 K + 2 G K G^T.
+    # G K G^T = [[k11, -k01], [-k01, k00]]
+    GKG = jnp.stack(
+        [
+            jnp.stack([k11, -k01], -1),
+            jnp.stack([-k01, k00], -1),
+        ],
+        -2,
+    )
+    S2d = -2.0 * Crot + 2.0 * GKG
+
+    ASA_mu = jnp.einsum(
+        "...ij,...jk,...k->...i", A, S, Amu
+    )  # A S A mu
+    # q_i for translations: 2 (A mu)_i
+    q_x = 2.0 * Amu[..., 0]
+    q_y = 2.0 * Amu[..., 1]
+    q_t = 2.0 * jnp.einsum("...i,...i->...", Amu, mu_t) - jnp.einsum(
+        "...i,...i->...", mu, ASA_mu
+    )
+    q_grad = jnp.stack([q_x, q_y, q_t], -1)
+
+    # Hessian of q.
+    # translations block: 2 A
+    h_xx = 2.0 * A[..., 0, 0]
+    h_xy = 2.0 * A[..., 0, 1]
+    h_yy = 2.0 * A[..., 1, 1]
+    # x/theta & y/theta: 2 e_i^T A mu_t + 2 e_i^T A_t mu
+    #   A_t mu = -A S A mu = -ASA_mu
+    A_mu_t = jnp.einsum("...ij,...j->...i", A, mu_t)
+    h_xt = 2.0 * A_mu_t[..., 0] - 2.0 * ASA_mu[..., 0]
+    h_yt = 2.0 * A_mu_t[..., 1] - 2.0 * ASA_mu[..., 1]
+    # theta/theta:
+    #   2 mu_t^T A mu_t + 2 mu^T A mu_tt + 4 mu^T A_t mu_t
+    #   + mu^T A_tt mu,  A_tt = 2 A S A S A - A S2d A
+    t1 = 2.0 * jnp.einsum("...i,...i->...", mu_t, A_mu_t)
+    t2 = 2.0 * jnp.einsum("...i,...i->...", Amu, mu_tt)
+    t3 = -4.0 * jnp.einsum("...i,...i->...", ASA_mu, mu_t)
+    # A_tt mu = 2 A S A S A mu - A S2d A mu
+    ASASA_mu = jnp.einsum("...ij,...jk,...k->...i", A, S, ASA_mu)
+    AS2A_mu = jnp.einsum("...ij,...jk,...k->...i", A, S2d, Amu)
+    t4 = jnp.einsum(
+        "...i,...i->...", mu, 2.0 * ASASA_mu - AS2A_mu
+    )
+    h_tt = t1 + t2 + t3 + t4
+
+    q_hess = jnp.stack(
+        [
+            jnp.stack([h_xx, h_xy, h_xt], -1),
+            jnp.stack([h_xy, h_yy, h_yt], -1),
+            jnp.stack([h_xt, h_yt, h_tt], -1),
+        ],
+        -2,
+    )
+
+    a = 0.5 * lfd2
+    E = jnp.exp(-a * q)
+    s = -lfd1 * E
+    g = (lfd1 * a) * E[..., None] * q_grad
+    H = (lfd1 * a) * E[..., None, None] * (
+        q_hess
+        - a * q_grad[..., :, None] * q_grad[..., None, :]
+    )
+    return s, g, H
+
+
+def fgh_dense(
+    d,
+    T0,
+    src: CellList,
+    tgt: DenseTarget,
+    map_params: NDTMapParams,
+    m: MatcherParams,
+):
+    """Analytic (score, grad, Hessian) of the dense D2D cost — exactly
+    ops.d2d.d2d_score_dense's value/derivatives in one pass."""
+    from ndt_feature_graph_tpu.core import se2
+    from ndt_feature_graph_tpu.ops.d2d import _apply_increment
+
+    T = _apply_increment(d, T0)
+    moved = src.transform(T)
+    h, w = tgt.valid.shape
+    n = m.n_neighbours
+    win = 2 * n + 1
+
+    rel = (moved.means - tgt.origin) / map_params.resolution
+    ix0 = jnp.floor(rel[..., 0]).astype(jnp.int32)
+    iy0 = jnp.floor(rel[..., 1]).astype(jnp.int32)
+    offs = jnp.arange(-n, n + 1)
+    dy = jnp.repeat(offs, win)
+    dx = jnp.tile(offs, win)
+    iy = iy0[:, None] + dy[None, :]
+    ix = ix0[:, None] + dx[None, :]
+    inb = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
+    flat = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
+
+    t_means = tgt.means.reshape(-1, 2)[flat]
+    t_covs = tgt.covs.reshape(-1, 2, 2)[flat]
+    t_valid = tgt.valid.reshape(-1)[flat] & inb
+
+    mu = moved.means[:, None, :] - t_means
+    Sig = moved.covs[:, None, :, :] + t_covs
+    m_rot = (moved.means - d[:2])[:, None, :]
+    s, g, H = _pair_fgh(
+        mu, Sig, m_rot, moved.covs[:, None, :, :], m.lfd1, m.lfd2
+    )
+    ok = t_valid & moved.mask[:, None]
+    okf = ok.astype(jnp.float32)
+    f = jnp.sum(s * okf)
+    grad = jnp.sum(g * okf[..., None], axis=(0, 1))
+    hess = jnp.sum(H * okf[..., None, None], axis=(0, 1))
+    return f, grad, hess
+
+
+def fgh_paired(d, T0, src: CellList, tgt: CellList, m: MatcherParams):
+    """Analytic (score, grad, Hessian) of the correspondence-restricted
+    cost (ops.d2d.d2d_score_paired)."""
+    from ndt_feature_graph_tpu.ops.d2d import _apply_increment
+
+    T = _apply_increment(d, T0)
+    moved = src.transform(T)
+    mu = moved.means - tgt.means
+    Sig = moved.covs + tgt.covs
+    s, g, H = _pair_fgh(
+        mu, Sig, moved.means - d[:2], moved.covs, m.lfd1, m.lfd2
+    )
+    ok = (src.mask & tgt.mask).astype(jnp.float32)
+    return (
+        jnp.sum(s * ok),
+        jnp.sum(g * ok[..., None], axis=0),
+        jnp.sum(H * ok[..., None, None], axis=0),
+    )
+
+
+def fgh_mahalanobis(d, Q):
+    """(d^T Q d, (Q+Q^T) d, Q+Q^T) — the soft-constraint terms
+    (fusion.h:11-32)."""
+    Qs = Q + Q.T
+    return d @ Q @ d, Qs @ d, Qs

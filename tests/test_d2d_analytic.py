@@ -1,0 +1,115 @@
+"""Analytic D2D derivatives vs the autodiff oracle (ops/d2d.py) —
+the correctness check SURVEY.md §7 calls essential for hand-derived
+`derivativesNDT` replacements."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ndt_feature_graph_tpu.config import MatcherParams, NDTMapParams
+from ndt_feature_graph_tpu.ops import d2d, d2d_analytic, ndt_map
+
+MAP = NDTMapParams(
+    resolution=0.5, size_x=30.0, size_y=30.0, sensor_range=15.0,
+    max_points_per_scan=512, max_cells=256,
+)
+MATCH = MatcherParams()
+
+
+def _world(key):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_d2d import build, make_world
+
+    pts = make_world(key)
+    grid = build(pts)
+    tgt = d2d.make_dense_target(grid, MAP)
+    src = ndt_map.to_cell_list(grid, MAP)
+    return src, tgt
+
+
+@pytest.mark.parametrize(
+    "d_eval",
+    [
+        (0.0, 0.0, 0.0),
+        (0.05, -0.03, 0.02),
+        (-0.2, 0.15, -0.12),
+        (0.4, 0.3, 0.35),
+    ],
+)
+def test_dense_fgh_matches_autodiff(d_eval):
+    src, tgt = _world(jax.random.PRNGKey(0))
+    T0 = jnp.array([0.1, -0.05, 0.07])
+    d = jnp.array(d_eval, jnp.float32)
+
+    def score(dd):
+        return d2d.d2d_score_dense(dd, T0, src, tgt, MAP, MATCH)
+
+    f_ref = float(score(d))
+    g_ref = np.asarray(jax.grad(score)(d))
+    H_ref = np.asarray(jax.jacfwd(jax.grad(score))(d))
+
+    f, g, H = d2d_analytic.fgh_dense(d, T0, src, tgt, MAP, MATCH)
+    np.testing.assert_allclose(float(f), f_ref, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g), g_ref, rtol=2e-3,
+                               atol=2e-2)
+    np.testing.assert_allclose(np.asarray(H), H_ref, rtol=2e-3,
+                               atol=5e-1)
+    # Relative Hessian agreement (H entries are O(1e3+)).
+    scale = np.abs(H_ref).max()
+    np.testing.assert_allclose(
+        np.asarray(H) / scale, H_ref / scale, atol=2e-4
+    )
+
+
+def test_paired_fgh_matches_autodiff():
+    key = jax.random.PRNGKey(1)
+    means = jax.random.uniform(key, (32, 2), minval=-5.0, maxval=5.0)
+    covs = jnp.tile(jnp.eye(2) * 2e-4, (32, 1, 1))
+    mask = jnp.ones(32, bool)
+    tgt = ndt_map.CellList(means, covs, mask)
+    from ndt_feature_graph_tpu.core import se2
+
+    src = ndt_map.CellList(
+        se2.transform_points(jnp.array([-0.3, 0.2, -0.1]), means),
+        covs, mask,
+    )
+    T0 = jnp.array([0.05, 0.1, 0.04])
+    d = jnp.array([0.1, -0.08, 0.06])
+
+    def score(dd):
+        return d2d.d2d_score_paired(dd, T0, src, tgt, MATCH)
+
+    f_ref = float(score(d))
+    g_ref = np.asarray(jax.grad(score)(d))
+    H_ref = np.asarray(jax.jacfwd(jax.grad(score))(d))
+
+    f, g, H = d2d_analytic.fgh_paired(d, T0, src, tgt, MATCH)
+    np.testing.assert_allclose(float(f), f_ref, rtol=1e-5, atol=1e-5)
+    scale = max(np.abs(g_ref).max(), 1e-9)
+    np.testing.assert_allclose(
+        np.asarray(g) / scale, g_ref / scale, atol=1e-4
+    )
+    scale = max(np.abs(H_ref).max(), 1e-9)
+    np.testing.assert_allclose(
+        np.asarray(H) / scale, H_ref / scale, atol=1e-4
+    )
+
+
+def test_mahalanobis_fgh():
+    Q = jnp.asarray(np.diag([4.0, 2.0, 8.0]).astype(np.float32))
+    d = jnp.array([0.5, -1.0, 0.25])
+
+    def score(dd):
+        return d2d.mahalanobis_score(dd, Q)
+
+    f, g, H = d2d_analytic.fgh_mahalanobis(d, Q)
+    np.testing.assert_allclose(float(f), float(score(d)), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(jax.grad(score)(d)), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(H), np.asarray(jax.hessian(score)(d)), atol=1e-5
+    )
