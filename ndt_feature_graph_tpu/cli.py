@@ -85,13 +85,23 @@ def cmd_simulate(a):
     print(f"wrote {a.out}: {traj.shape[0]} steps, {a.num_beams} beams")
 
 
+def _load_any_sequence(path, max_range=30.0):
+    from ndt_feature_graph_tpu.io import dataset
+
+    if path.endswith(".clf") or path.endswith(".log"):
+        from ndt_feature_graph_tpu.io import carmen
+
+        return carmen.read_carmen_sequence(path, max_range=max_range)
+    return dataset.load_sequence(path)
+
+
 def cmd_slam(a):
     import numpy as np
     from ndt_feature_graph_tpu import pipeline
     from ndt_feature_graph_tpu.io import dataset, tum
 
     params = _params_from_args(a)
-    seq = dataset.load_sequence(a.dataset)
+    seq = _load_any_sequence(a.dataset, max_range=a.sensor_range)
     slam, stats = pipeline.run_slam(params, seq, verbose=True)
     ate = pipeline.evaluate(slam, seq)
     stats["ate_rmse_m"] = ate
@@ -140,6 +150,145 @@ def cmd_optimize(a):
           float(np.max(np.linalg.norm(out[:, :2] - before[:, :2], axis=1))))
     tum.write_tum(a.out, list(range(len(out))), out)
     print(f"wrote {a.out}")
+
+
+def cmd_localize(a):
+    """MCL tracking (and optional kidnapped-robot recovery via place
+    recognition) against the map built from the first part of a
+    sequence — the localization-monitor / MCL-node role."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ndt_feature_graph_tpu.config import FeatureParams, MotionParams
+    from ndt_feature_graph_tpu.io import dataset
+    from ndt_feature_graph_tpu.localization import mcl, place_rec
+    from ndt_feature_graph_tpu.ops import d2d, ndt_map
+    from ndt_feature_graph_tpu.core import se2
+
+    params = _params_from_args(a)
+    mp = params.fuser.ndt
+    seq = _load_any_sequence(a.dataset, max_range=a.sensor_range)
+    t_total = int(seq.gt.shape[0])
+    split = t_total // 2
+
+    # Map from the first half at GT poses (localization assumes a map).
+    grid = ndt_map.empty_grid(mp, jnp.zeros(2))
+    fp = FeatureParams(num_beams=a.num_beams, max_range=a.sensor_range)
+    db = place_rec.empty_database(fp, capacity=32)
+    for t in range(0, split, 2):
+        pts, mask = dataset.scan_to_points(seq.ranges[t], seq.hit[t])
+        world = se2.transform_points(seq.gt[t], pts)
+        grid = ndt_map.add_points(grid, mp, world, mask)
+        grid = ndt_map.update_occupancy(
+            grid, mp, seq.gt[t][:2], world, mask
+        )
+        db = place_rec.insert_scan(
+            db, fp, seq.gt[t], seq.ranges[t], seq.hit[t]
+        )
+    tgt = d2d.make_dense_target(grid, mp)
+
+    if a.kidnapped:
+        from ndt_feature_graph_tpu.localization import monitor
+
+        # The robot "wakes up" somewhere inside the mapped area, at a
+        # scan NOT stored in the database (odd index).
+        q = split // 3 * 2 + 1
+        pose, best, n = place_rec.relocalize(
+            db, fp, seq.ranges[q], seq.hit[q], jax.random.PRNGKey(1),
+            min_num_matches=a.min_matches,
+        )
+        badness = float("nan")
+        if pose is not None:
+            # Gate on scan-pose badness, as the localization monitor
+            # does before publishing (localization_monitor_node.cpp:
+            # 376-396): a wrong-place RANSAC match scores badly against
+            # the distance field.
+            dmap = monitor.build_distance_map(
+                grid.occ, grid.origin, mp.resolution
+            )
+            pts_q, mask_q = dataset.scan_to_points(
+                seq.ranges[q], seq.hit[q]
+            )
+            badness = float(
+                monitor.badness(dmap, jnp.asarray(pose), pts_q, mask_q)
+            )
+            if badness > a.max_badness:
+                pose = None
+        err = (
+            float(np.linalg.norm(pose[:2] - np.asarray(seq.gt[q])[:2]))
+            if pose is not None else float("nan")
+        )
+        print(json.dumps({
+            "relocalized": pose is not None,
+            "inliers": n,
+            "badness_m": badness,
+            "position_error_m": err,
+        }))
+        return
+
+    loc = mcl.MCL(mp, MotionParams(), tgt, n_particles=a.particles)
+    loc.initialize(seq.gt[split], spread_xy=0.5, spread_theta=0.2)
+    errs = []
+    for t in range(split + 1, t_total):
+        pts, mask = dataset.scan_to_points(seq.ranges[t], seq.hit[t])
+        est = loc.step(seq.odom[t], pts, mask)
+        errs.append(float(jnp.linalg.norm(est[:2] - seq.gt[t][:2])))
+    print(json.dumps({
+        "steps": len(errs),
+        "mean_error_m": float(np.mean(errs)),
+        "final_error_m": errs[-1] if errs else None,
+    }))
+
+
+def cmd_calibrate(a):
+    """Laser->base extrinsic grid search over consecutive scan pairs
+    (laser2d_extrinsic_calibration role)."""
+    import numpy as np
+    from ndt_feature_graph_tpu.io import dataset
+    from ndt_feature_graph_tpu.utils import pairwise
+
+    seq = _load_any_sequence(a.dataset, max_range=a.sensor_range)
+    pairs, rels = [], []
+    step = max(1, seq.gt.shape[0] // (a.pairs + 1))
+    for k in range(0, min(a.pairs * step, seq.gt.shape[0] - step), step):
+        pa, ma = dataset.scan_to_points(seq.ranges[k], seq.hit[k])
+        pb, mb = dataset.scan_to_points(
+            seq.ranges[k + step], seq.hit[k + step]
+        )
+        pairs.append(((pa, ma), (pb, mb)))
+        import jax.numpy as jnp
+
+        from ndt_feature_graph_tpu.core import se2
+
+        rels.append(np.asarray(se2.sub(seq.gt[k], seq.gt[k + step])))
+    best, scores = pairwise.calibrate_extrinsic(
+        pairs, rels, search_xy=a.search_xy,
+        search_theta=a.search_theta, n=a.grid,
+    )
+    print(json.dumps({
+        "extrinsic": [float(x) for x in np.asarray(best)],
+        "candidates": int(np.asarray(scores).shape[0]),
+    }))
+
+
+def cmd_export_map(a):
+    """Stitched occupancy export from a graph checkpoint
+    (toOccupancyGrid role)."""
+    import numpy as np
+    from ndt_feature_graph_tpu.graph.slam import NDTFeatureGraphSLAM
+    from ndt_feature_graph_tpu.utils import occupancy
+
+    params = _params_from_args(a)
+    slam = NDTFeatureGraphSLAM.load(a.graph, params)
+    prob, origin, res = occupancy.stitch_graph_occupancy(slam)
+    occupancy.write_pgm(a.out, prob)
+    print(json.dumps({
+        "cells": list(prob.shape),
+        "origin": [float(x) for x in origin],
+        "resolution": res,
+        "out": a.out,
+    }))
 
 
 def cmd_eval(a):
@@ -199,6 +348,36 @@ def main(argv=None):
     p.add_argument("--est", required=True)
     p.add_argument("--gt", required=True)
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser(
+        "localize", help="MCL tracking / kidnapped-robot recovery"
+    )
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--kidnapped", action="store_true")
+    p.add_argument("--particles", type=int, default=512)
+    p.add_argument("--min-matches", type=int, default=8)
+    p.add_argument("--max-badness", type=float, default=0.5)
+    _add_common(p)
+    p.set_defaults(fn=cmd_localize)
+
+    p = sub.add_parser(
+        "calibrate", help="laser extrinsic grid search"
+    )
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--pairs", type=int, default=3)
+    p.add_argument("--search-xy", type=float, default=0.4)
+    p.add_argument("--search-theta", type=float, default=0.25)
+    p.add_argument("--grid", type=int, default=7)
+    _add_common(p)
+    p.set_defaults(fn=cmd_calibrate)
+
+    p = sub.add_parser(
+        "export-map", help="stitched occupancy PGM from a checkpoint"
+    )
+    p.add_argument("--graph", required=True)
+    p.add_argument("--out", required=True)
+    _add_common(p)
+    p.set_defaults(fn=cmd_export_map)
 
     a = ap.parse_args(argv)
     a.fn(a)
