@@ -38,6 +38,30 @@ def run_sequence(params: FuserParams, state, odom, pts, mask):
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
+def run_sequence_features(params: FuserParams, state, odom, ranges, hit):
+    """Device-resident full-pipeline driver: the feature-aware fuser
+    (detector + descriptor + RANSAC + joint fusion) chained over a
+    (T, ...) sequence in one executable.
+
+    state: FeatureFuserState; odom (T, 3); ranges (T, B); hit (T, B).
+    Returns (final_state, trajectory (T, 3), scores (T,)).
+    """
+    from ndt_feature_graph_tpu.fusion import feature_fuser
+
+    def body(st, x):
+        tm, r, h = x
+        ns, info, res = feature_fuser.update.__wrapped__(
+            st, params, tm, r, h
+        )
+        return ns, (ns.base.Tnow, info.score)
+
+    final, (traj, scores) = jax.lax.scan(
+        body, state, (odom, ranges, hit)
+    )
+    return final, traj, scores
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
 def run_sequence_batch(params: FuserParams, states, odom, pts, mask):
     """Fleet variant: B independent streams, each a T-step sequence.
 

@@ -1,0 +1,120 @@
+"""Fleet scaling measurement: scans/s vs device count.
+
+BASELINE.md config[4] machinery: shard a fleet of independent scan
+streams over the mesh 'dp' axis (keyframe/stream partitioning —
+SURVEY.md §7.9) and measure sustained throughput per device count.
+On real multi-chip hardware this produces the ≥80% scaling-efficiency
+figure; on the virtual CPU mesh it validates the sharded program
+structure (tests) — the compiled program is identical either way.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ndt_feature_graph_tpu.config import FuserParams
+from ndt_feature_graph_tpu.fusion import fuser, scan_driver
+from ndt_feature_graph_tpu.io import dataset
+
+
+def build_fleet_inputs(params: FuserParams, n_streams, t_steps=20,
+                       num_beams=360, seed=0):
+    traj = dataset.loop_trajectory(t_steps, radius=5.0)
+    seq = dataset.simulate_sequence(
+        jax.random.PRNGKey(seed), traj, num_beams=num_beams,
+        max_range=params.ndt.sensor_range,
+    )
+    pts_all, mask_all = jax.vmap(dataset.scan_to_points)(
+        seq.ranges, seq.hit
+    )
+    state = fuser.initialize(
+        params, seq.gt[0], jnp.zeros(3), pts_all[0], mask_all[0]
+    )
+    states = jax.tree.map(
+        lambda x: jnp.stack([x] * n_streams), state
+    )
+    # Perturb per-stream odometry so streams are distinct work.
+    base = jnp.stack([seq.odom[1:]] * n_streams)
+    jitter = 1e-4 * jnp.arange(n_streams)[:, None, None]
+    odom = base + jitter
+    pts = jnp.stack([pts_all[1:]] * n_streams)
+    mask = jnp.stack([mask_all[1:]] * n_streams)
+    return states, odom, pts, mask
+
+
+def measure_fleet_throughput(
+    params: FuserParams,
+    n_devices,
+    streams_per_device=4,
+    t_steps=20,
+    reps=5,
+):
+    """Sustained scans/s with `n_devices` mesh shards.  Returns
+    (scans_per_sec, per_rep_times)."""
+    import numpy as np
+
+    mesh = Mesh(
+        np.asarray(jax.devices()[:n_devices]), ("dp",)
+    )
+    n_streams = n_devices * streams_per_device
+    states, odom, pts, mask = build_fleet_inputs(
+        params, n_streams, t_steps
+    )
+
+    def shard(x):
+        return jax.device_put(
+            x, NamedSharding(mesh, P("dp", *([None] * (x.ndim - 1))))
+        )
+
+    states = jax.tree.map(shard, states)
+    odom, pts, mask = shard(odom), shard(pts), shard(mask)
+
+    @jax.jit
+    def run(states, odom, pts, mask):
+        finals, trajs, scores = (
+            scan_driver.run_sequence_batch.__wrapped__(
+                params, states, odom, pts, mask
+            )
+        )
+        digest = sum(
+            jnp.sum(x.astype(jnp.float32))
+            for x in jax.tree.leaves(finals)
+        )
+        return trajs, digest
+
+    out = run(states, odom, pts, mask)
+    jax.block_until_ready(out)
+
+    times = []
+    for k in range(reps):
+        odom_k = odom + (k + 1) * 1e-5
+        t0 = time.perf_counter()
+        out = run(states, odom_k, pts, mask)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    per = times[len(times) // 2]
+    scans = n_streams * (t_steps - 1)
+    return scans / per, times
+
+
+def scaling_report(params: FuserParams, device_counts, **kw):
+    """Throughput + efficiency table over device counts."""
+    rows = []
+    base = None
+    for n in device_counts:
+        sps, _ = measure_fleet_throughput(params, n, **kw)
+        if base is None:
+            base = sps / n
+        rows.append(
+            {
+                "devices": n,
+                "scans_per_sec": round(sps, 1),
+                "efficiency": round(sps / (n * base), 3),
+            }
+        )
+    return rows
