@@ -136,3 +136,25 @@ def test_sharded_links_smoke():
         np.asarray(single.mask) == np.asarray(shard.mask[:n])
     ).mean()
     assert agree > 0.9, agree
+
+
+def test_sharded_schur_matches_dense():
+    """The full distributed pipeline (edge-sharded assembly +
+    block-sharded Schur elimination) equals the single-device dense
+    solve."""
+    require_devices(8)
+    from ndt_feature_graph_tpu.graph import schur as schur_mod
+    from ndt_feature_graph_tpu.parallel import schur_sharded
+
+    mesh = mesh_mod.make_mesh(8)
+    gt, init, edges = random_graph(jax.random.PRNGKey(5), n_nodes=48,
+                                   n_loop=16)
+    part = schur_mod.make_partition(48, edges, 8)
+    ref, _ = opt.optimize(init, edges, iterations=15)
+    out = schur_sharded.optimize_schur_sharded(
+        mesh, init, edges, part, iterations=15
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(gt),
+                               atol=0.05)
