@@ -37,3 +37,31 @@ def log_to_sequence(log: CarmenLog, max_range: float = 30.0) -> Sequence:
 
 def read_carmen_sequence(path, max_range: float = 30.0) -> Sequence:
     return log_to_sequence(read_carmen(path), max_range=max_range)
+
+
+def write_carmen(path, seq: Sequence, max_range: float = 30.0):
+    """Export a Sequence as CARMEN FLASER records (odometry = the
+    composed odometry chain; useful for interop tests and for feeding
+    recorded synthetic runs to CARMEN-consuming tools)."""
+    import jax.numpy as jnp
+
+    ranges = np.asarray(seq.ranges)
+    hit = np.asarray(seq.hit)
+    t_steps, b = ranges.shape
+    pose = jnp.asarray(seq.gt[0])
+    poses = [np.asarray(pose)]
+    for t in range(1, t_steps):
+        pose = se2.compose(pose, jnp.asarray(seq.odom[t]))
+        poses.append(np.asarray(pose))
+    with open(path, "w") as f:
+        f.write("# synthetic CARMEN log (ndt_feature_graph_tpu)\n")
+        for t in range(t_steps):
+            r = np.where(hit[t], ranges[t], max_range * 1.1)
+            row = (
+                ["FLASER", str(b)]
+                + [f"{v:.4f}" for v in r]
+                + ["0.0000", "0.0000", "0.0000"]
+                + [f"{v:.6f}" for v in poses[t]]
+                + [f"{100.0 + t:.4f}", "sim", f"{100.0 + t:.4f}"]
+            )
+            f.write(" ".join(row) + "\n")

@@ -48,6 +48,22 @@ def default_world():
     return jnp.asarray(segs, jnp.float32)
 
 
+def warehouse_world():
+    """A second, sparser world: long corridors + shelving rows —
+    geometry-poor along the corridor axis (stresses the odometry prior
+    and features)."""
+    segs = [
+        (-15, -6, 15, -6), (15, -6, 15, 6), (15, 6, -15, 6),
+        (-15, 6, -15, -6),
+        # shelf rows
+        (-10, -3, -2, -3), (-10, -2.4, -2, -2.4),
+        (2, -3, 10, -3), (2, -2.4, 10, -2.4),
+        (-10, 1, -2, 1), (-10, 1.6, -2, 1.6),
+        (2, 1, 10, 1), (2, 1.6, 10, 1.6),
+    ]
+    return jnp.asarray(segs, jnp.float32)
+
+
 def raycast(segments, pose, num_beams, max_range, fov=2.0 * np.pi):
     """Cast `num_beams` rays from `pose` against the segment world.
     Returns (ranges (B,), hit (B,)).  Fully vectorized (B x S)."""

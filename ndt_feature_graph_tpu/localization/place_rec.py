@@ -13,7 +13,7 @@ loop is one vmapped RANSAC batch.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

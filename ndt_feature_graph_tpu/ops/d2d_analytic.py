@@ -162,7 +162,6 @@ def fgh_dense(
 ):
     """Analytic (score, grad, Hessian) of the dense D2D cost — exactly
     ops.d2d.d2d_score_dense's value/derivatives in one pass."""
-    from ndt_feature_graph_tpu.core import se2
     from ndt_feature_graph_tpu.ops.d2d import _apply_increment
 
     T = _apply_increment(d, T0)
