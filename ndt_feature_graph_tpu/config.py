@@ -89,6 +89,9 @@ class MatcherParams:
     use_odom: bool = True             # soft-constraint Mahalanobis prior
     tikhonov: bool = False
     cov_scale: float = 1.0            # scale on inv-Hessian pose covariance
+    use_pallas: bool = False          # fused Pallas pair-derivative kernel
+                                      # (ops/pallas_kernels.py) instead of
+                                      # the XLA-fused analytic path
 
     replace = _replace
 

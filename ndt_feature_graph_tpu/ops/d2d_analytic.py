@@ -188,10 +188,19 @@ def fgh_dense(
     mu = moved.means[:, None, :] - t_means
     Sig = moved.covs[:, None, :, :] + t_covs
     m_rot = (moved.means - d[:2])[:, None, :]
+    ok = t_valid & moved.mask[:, None]
+
+    if m.use_pallas:
+        from ndt_feature_graph_tpu.ops import pallas_kernels
+
+        return pallas_kernels.pair_fgh_reduce(
+            mu, Sig, m_rot, moved.covs[:, None, :, :], ok,
+            m.lfd1, m.lfd2,
+        )
+
     s, g, H = _pair_fgh(
         mu, Sig, m_rot, moved.covs[:, None, :, :], m.lfd1, m.lfd2
     )
-    ok = t_valid & moved.mask[:, None]
     okf = ok.astype(jnp.float32)
     f = jnp.sum(s * okf)
     grad = jnp.sum(g * okf[..., None], axis=(0, 1))

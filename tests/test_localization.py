@@ -18,7 +18,7 @@ from ndt_feature_graph_tpu.localization import mcl, monitor, place_rec
 from ndt_feature_graph_tpu.ops import d2d, distance_field, ndt_map
 
 MAP = NDTMapParams(
-    resolution=0.5, size_x=30.0, size_y=30.0, sensor_range=15.0,
+    resolution=0.5, size_x=24.0, size_y=24.0, sensor_range=15.0,
     max_points_per_scan=512, max_cells=512,
 )
 

@@ -103,13 +103,13 @@ def test_sharded_links_smoke():
         ),
         graph=GraphParams(new_node_transl_dist=3.0, max_nodes=16),
     )
-    traj = dataset.loop_trajectory(60, radius=5.0)
+    traj = dataset.loop_trajectory(36, radius=5.0)
     seq = dataset.simulate_sequence(
         jax.random.PRNGKey(7), traj, num_beams=360, max_range=15.0
     )
     slam = NDTFeatureGraphSLAM(params, seed=0)
     slam.initialize(seq.gt[0], jnp.zeros(3), seq.ranges[0], seq.hit[0])
-    for t in range(1, 60):
+    for t in range(1, 36):
         slam.update(seq.odom[t], seq.ranges[t], seq.hit[t])
     slam.finalize_current_node()
 
