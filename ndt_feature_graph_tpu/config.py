@@ -168,6 +168,10 @@ class GraphParams:
     valid_max_dist: float = 1.0
     valid_max_angular_dist: float = 0.2
     valid_min_idx_dist: int = 2
+    # incremental edge source between consecutive nodes:
+    # "fuse" (fused local pose) or "odom" (raw local odometry) —
+    # getAllIncrementalFuseLinks / getAllIncrementalOdomLinks
+    incremental_link_source: str = "fuse"
     # solver
     prior_information: float = 100.0  # Information(100*eye) on node 0,
                                       # ndt_offline_mapper.h:61

@@ -133,9 +133,15 @@ class NDTFeatureGraphSLAM:
         new_T = np.asarray(
             se2.compose(jnp.asarray(self.current_T), Tnow_local)
         )
-        # Odometry edge between consecutive node origins: relative pose
-        # + motion-model covariance over the accumulated local motion.
-        rel = np.asarray(Tnow_local)
+        # Incremental edge between consecutive node origins, from the
+        # fused local pose or raw local odometry (the reference's
+        # getAllIncrementalFuseLinks / getAllIncrementalOdomLinks
+        # distinction, ndt_feature_graph.cpp:180-258), + motion-model
+        # covariance over the accumulated local motion.
+        if self.params.graph.incremental_link_source == "odom":
+            rel = np.asarray(self.state.base.Todom)
+        else:
+            rel = np.asarray(Tnow_local)
         cov = np.asarray(
             motion_model.measurement_cov(
                 p.motion, jnp.asarray(rel)
