@@ -47,6 +47,7 @@ def _params_from_args(a):
             valid_max_dist=a.max_dist,
             valid_max_angular_dist=a.max_angular_dist,
             valid_min_idx_dist=a.min_idx_dist,
+            online_loop_closure=getattr(a, "online_lc", False),
         ),
     )
 
@@ -64,6 +65,10 @@ def _add_common(p):
     p.add_argument("--max-dist", type=float, default=1.0)
     p.add_argument("--max-angular-dist", type=float, default=0.2)
     p.add_argument("--min-idx-dist", type=int, default=2)
+    p.add_argument(
+        "--online-lc", action="store_true",
+        help="close loops online at node splits (incremental solve)",
+    )
 
 
 def cmd_simulate(a):

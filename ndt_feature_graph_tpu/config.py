@@ -172,6 +172,14 @@ class GraphParams:
     # "fuse" (fused local pose) or "odom" (raw local odometry) —
     # getAllIncrementalFuseLinks / getAllIncrementalOdomLinks
     incremental_link_source: str = "fuse"
+    # Online loop closure (extension beyond the reference, which closes
+    # loops offline only — ndt_feature_graph_opt.cpp): on each node
+    # split, match the just-frozen node's feature map against nearby
+    # frozen nodes and run an incremental graph solve on acceptance.
+    online_loop_closure: bool = False
+    online_lc_candidate_dist: float = 10.0  # node-origin Euclidean gate
+    online_lc_max_candidates: int = 4       # static candidate capacity
+    online_lc_gn_iterations: int = 15
     # solver
     prior_information: float = 100.0  # Information(100*eye) on node 0,
                                       # ndt_offline_mapper.h:61

@@ -40,6 +40,7 @@ class NDTFeatureGraphSLAM:
         self.nodes: List[node_mod.NodeData] = []   # frozen nodes
         self.node_T: List[np.ndarray] = []         # global pose per node
         self.odom_edges: List[tuple] = []          # (i, j, rel, cov)
+        self.loop_links: List[tuple] = []          # (i, j, rel, cov, score)
         self.state: Optional[feature_fuser.FeatureFuserState] = None
         self.fmap = None
         self.current_T = np.zeros(3, np.float32)   # active node origin
@@ -161,6 +162,129 @@ class NDTFeatureGraphSLAM:
         )
         self._accumulate_features()
         self.n_updates_in_node = 0
+        if self.params.graph.online_loop_closure:
+            self._try_online_loop_closure()
+
+    # ---------------- online loop closure ----------------
+    #
+    # Extension beyond the reference (which closes loops offline only,
+    # ndt_feature_graph_opt.cpp:29-210): on each node split, propose
+    # links from the just-frozen node to nearby earlier nodes using the
+    # same feature-RANSAC -> D2D-refine -> overlap-validate pipeline,
+    # then re-solve the (small) pose graph incrementally.  All device
+    # work runs at static shapes (online_lc_max_candidates pairs,
+    # max_nodes poses, fixed edge capacity) so it compiles once.
+
+    def _try_online_loop_closure(self):
+        gp = self.params.graph
+        p = self.params.fuser
+        k = len(self.nodes) - 1            # just-frozen node
+        if k < gp.valid_min_idx_dist:
+            return
+        Tk = self.node_T[k]
+        cands = [
+            (float(np.linalg.norm(self.node_T[i][:2] - Tk[:2])), i)
+            for i in range(k - gp.valid_min_idx_dist + 1)
+        ]
+        cands = sorted(
+            c for c in cands if c[0] <= gp.online_lc_candidate_dist
+        )[: gp.online_lc_max_candidates]
+        if not cands:
+            return
+        cand_idx = [i for (_, i) in cands]
+
+        C = gp.online_lc_max_candidates
+        # Static-size local stack: C candidate slots (padded with node
+        # k itself, masked out) + the new node in slot C.
+        sel = cand_idx + [k] * (C - len(cand_idx)) + [k]
+        stacked = node_mod.stack_nodes([self.nodes[i] for i in sel])
+        ref = jnp.arange(C, dtype=jnp.int32)
+        mov = jnp.full(C, C, jnp.int32)
+        mask = jnp.asarray(
+            [m < len(cand_idx) for m in range(C)], bool
+        )
+        link_set = links_mod.compute_links_batch(
+            p.features, p.ndt.resolution, stacked, ref, mov, mask,
+            self._split_key(),
+        )
+        link_set = links_mod.refine_links_d2d(
+            p.ndt, p.matcher, stacked, link_set
+        )
+        link_set = links_mod.rescore_links(
+            p.ndt.resolution, stacked, link_set
+        )
+
+        # Host-side validation against the current global estimates
+        # (getValidLinks gates, ndt_feature_graph.cpp:527-556).
+        T = np.asarray(link_set.T)
+        cov = np.asarray(link_set.cov)
+        score = np.asarray(link_set.score)
+        ok = np.asarray(link_set.mask)
+        accepted = False
+        for m, i in enumerate(cand_idx):
+            if not ok[m] or score[m] > gp.valid_max_score:
+                continue
+            expected = np.asarray(
+                se2.sub(jnp.asarray(self.node_T[i]), jnp.asarray(Tk))
+            )
+            d = np.linalg.norm(T[m, :2] - expected[:2])
+            a = abs(
+                float(se2.normalize_angle(T[m, 2] - expected[2]))
+            )
+            if d > gp.valid_max_dist or a > gp.valid_max_angular_dist:
+                continue
+            self.loop_links.append((i, k, T[m], cov[m], score[m]))
+            accepted = True
+        if accepted:
+            self._solve_incremental()
+
+    def _solve_incremental(self):
+        """Re-solve the pose graph over frozen-node origins + the
+        active-node origin, at static (max_nodes, edge-capacity)
+        shapes."""
+        gp = self.params.graph
+        n = len(self.nodes)
+        cap_n = gp.max_nodes + 1
+        cap_e = gp.max_nodes + gp.max_links
+        poses = np.zeros((cap_n, 3), np.float32)
+        poses[:n] = np.stack(self.node_T)
+        poses[n] = self.current_T          # active-node origin
+        e_i = np.zeros(cap_e, np.int32)
+        e_j = np.zeros(cap_e, np.int32)
+        e_meas = np.zeros((cap_e, 3), np.float32)
+        e_info = np.zeros((cap_e, 3, 3), np.float32)
+        e_mask = np.zeros(cap_e, bool)
+        edges = [
+            (i, j, rel, np.linalg.inv(cov))
+            for (i, j, rel, cov) in self.odom_edges
+        ] + [
+            (i, j, rel, np.linalg.inv(cov + 1e-6 * np.eye(3)))
+            for (i, j, rel, cov, _s) in self.loop_links
+        ]
+        ne = min(len(edges), cap_e)
+        for idx in range(ne):
+            i, j, rel, info = edges[idx]
+            e_i[idx], e_j[idx] = i, j
+            e_meas[idx] = rel
+            e_info[idx] = info
+            e_mask[idx] = True
+        edge_list = opt_mod.EdgeList(
+            i=jnp.asarray(e_i),
+            j=jnp.asarray(e_j),
+            meas=jnp.asarray(e_meas),
+            info=jnp.asarray(e_info),
+            mask=jnp.asarray(e_mask),
+        )
+        out, _chi2 = opt_mod.optimize(
+            jnp.asarray(poses),
+            edge_list,
+            prior_information=gp.prior_information,
+            iterations=gp.online_lc_gn_iterations,
+            damping=gp.gn_damping,
+        )
+        out = np.asarray(out)
+        self.node_T = [out[i].copy() for i in range(n)]
+        self.current_T = out[n].copy()
 
     def finalize_current_node(self):
         """Freeze the active node without starting a new one (end of

@@ -1,0 +1,86 @@
+"""Online loop closure: link proposal + incremental solve at node
+splits (extension beyond the reference's offline-only loop closure,
+ndt_feature_graph_opt.cpp:29-210; same gates as getValidLinks,
+ndt_feature_graph.cpp:527-556)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ndt_feature_graph_tpu.config import (
+    FeatureParams,
+    FuserParams,
+    GraphParams,
+    NDTMapParams,
+    SLAMParams,
+)
+from ndt_feature_graph_tpu.graph.slam import NDTFeatureGraphSLAM
+from ndt_feature_graph_tpu.io import dataset, tum
+
+BASE = SLAMParams(
+    fuser=FuserParams(
+        ndt=NDTMapParams(
+            resolution=0.5,
+            size_x=40.0,
+            size_y=40.0,
+            sensor_range=15.0,
+            max_points_per_scan=512,
+            max_cells=512,
+        ),
+        features=FeatureParams(num_beams=360, max_range=15.0),
+        force_odom_as_est=True,
+    ),
+    graph=GraphParams(
+        new_node_transl_dist=3.0,
+        max_nodes=24,
+        valid_max_dist=3.0,
+        valid_max_angular_dist=0.6,
+        valid_max_score=0.2,
+    ),
+)
+
+
+def run(seq, params):
+    slam = NDTFeatureGraphSLAM(params, seed=0)
+    slam.initialize(seq.gt[0], jnp.zeros(3), seq.ranges[0], seq.hit[0])
+    gt_nodes = [np.asarray(seq.gt[0])]
+    n_nodes = 0
+    for t in range(1, seq.gt.shape[0]):
+        slam.update(seq.odom[t], seq.ranges[t], seq.hit[t], t=float(t))
+        if len(slam.nodes) != n_nodes:
+            n_nodes = len(slam.nodes)
+            gt_nodes.append(np.asarray(seq.gt[t]))
+    slam.finalize_current_node()
+    return slam, np.stack(gt_nodes[: len(slam.nodes)])
+
+
+def test_online_loop_closure_reduces_drift():
+    traj = dataset.loop_trajectory(100, radius=5.0)
+    seq = dataset.simulate_sequence(
+        jax.random.PRNGKey(43), traj, num_beams=360, max_range=15.0,
+        odom_noise=(0.004, 0.004, 0.002),
+    )
+    biased = seq._replace(odom=seq.odom + jnp.array([0.0, 0.0, 0.0035]))
+
+    off, gt_off = run(biased, BASE)
+    on_params = BASE.replace(
+        graph=BASE.graph.replace(online_loop_closure=True)
+    )
+    on, gt_on = run(biased, on_params)
+
+    assert len(on.loop_links) >= 1, "no online loop closures accepted"
+    err_off = tum.ate_rmse(np.stack(off.node_T), gt_off)
+    err_on = tum.ate_rmse(np.stack(on.node_T), gt_on)
+    print("node ATE without/with online LC:", err_off, err_on)
+    assert err_on < err_off * 0.8, (err_off, err_on)
+    # The incremental solves must keep the odometry chain consistent.
+    from ndt_feature_graph_tpu.core import se2
+
+    out = np.stack(on.node_T)
+    for (i, j, rel, cov) in on.odom_edges:
+        if j >= len(out):
+            continue
+        pred = np.asarray(
+            se2.sub(jnp.asarray(out[i]), jnp.asarray(out[j]))
+        )
+        assert np.linalg.norm(pred[:2] - rel[:2]) < 1.0
