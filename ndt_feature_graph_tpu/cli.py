@@ -86,7 +86,12 @@ def cmd_simulate(a):
         max_range=a.sensor_range,
         odom_noise=(a.odom_noise, a.odom_noise, a.odom_noise / 2.5),
     )
-    dataset.save_sequence(a.out, seq)
+    if a.out.endswith(".bag"):
+        from ndt_feature_graph_tpu.io import rosbag
+
+        rosbag.write_bag(a.out, seq, max_range=a.sensor_range)
+    else:
+        dataset.save_sequence(a.out, seq)
     print(f"wrote {a.out}: {traj.shape[0]} steps, {a.num_beams} beams")
 
 
@@ -97,7 +102,21 @@ def _load_any_sequence(path, max_range=30.0):
         from ndt_feature_graph_tpu.io import carmen
 
         return carmen.read_carmen_sequence(path, max_range=max_range)
+    if path.endswith(".bag"):
+        from ndt_feature_graph_tpu.io import rosbag
+
+        seq, _stamps = rosbag.read_bag_sequence(path, max_range=max_range)
+        return seq
     return dataset.load_sequence(path)
+
+
+def _sync_beams(a, seq):
+    """The dataset decides the beam count; the flag is only a default
+    for synthetic runs."""
+    nb = int(seq.ranges.shape[1])
+    if nb != a.num_beams:
+        print(f"note: dataset has {nb} beams (flag said {a.num_beams})")
+        a.num_beams = nb
 
 
 def cmd_slam(a):
@@ -105,8 +124,9 @@ def cmd_slam(a):
     from ndt_feature_graph_tpu import pipeline
     from ndt_feature_graph_tpu.io import dataset, tum
 
-    params = _params_from_args(a)
     seq = _load_any_sequence(a.dataset, max_range=a.sensor_range)
+    _sync_beams(a, seq)
+    params = _params_from_args(a)
     slam, stats = pipeline.run_slam(params, seq, verbose=True)
     ate = pipeline.evaluate(slam, seq)
     stats["ate_rmse_m"] = ate
@@ -171,9 +191,10 @@ def cmd_localize(a):
     from ndt_feature_graph_tpu.ops import d2d, ndt_map
     from ndt_feature_graph_tpu.core import se2
 
+    seq = _load_any_sequence(a.dataset, max_range=a.sensor_range)
+    _sync_beams(a, seq)
     params = _params_from_args(a)
     mp = params.fuser.ndt
-    seq = _load_any_sequence(a.dataset, max_range=a.sensor_range)
     t_total = int(seq.gt.shape[0])
     split = t_total // 2
 
@@ -321,6 +342,11 @@ def main(argv=None):
         description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter,
     )
+    ap.add_argument(
+        "--platform", choices=["default", "cpu"], default="default",
+        help="force the jax backend (cpu = host-side run; the env-level"
+        " JAX_PLATFORMS override is not honored on this image)",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("simulate", help="generate synthetic sequence")
@@ -385,6 +411,10 @@ def main(argv=None):
     p.set_defaults(fn=cmd_export_map)
 
     a = ap.parse_args(argv)
+    if a.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     a.fn(a)
 
 
