@@ -48,6 +48,7 @@ def _params_from_args(a):
             valid_max_angular_dist=a.max_angular_dist,
             valid_min_idx_dist=a.min_idx_dist,
             online_loop_closure=getattr(a, "online_lc", False),
+            solver=getattr(a, "solver", "auto"),
         ),
     )
 
@@ -65,6 +66,11 @@ def _add_common(p):
     p.add_argument("--max-dist", type=float, default=1.0)
     p.add_argument("--max-angular-dist", type=float, default=0.2)
     p.add_argument("--min-idx-dist", type=int, default=2)
+    p.add_argument(
+        "--solver", choices=["auto", "dense", "direct"], default="auto",
+        help="pose-graph solver: dense Cholesky, exact segment-Schur "
+             "(O(E) memory), or auto by node count",
+    )
     p.add_argument(
         "--online-lc", action="store_true",
         help="close loops online at node splits (incremental solve)",

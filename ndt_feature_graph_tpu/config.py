@@ -186,6 +186,12 @@ class GraphParams:
     gn_iterations: int = 20
     gn_damping: float = 1e-6
     fixpoint_max_rounds: int = 10
+    # "dense" (graph/optimize.py), "direct" (segment-Schur,
+    # graph/sparse_direct.py, O(E) memory), or "auto" (dense up to
+    # solver_dense_max_nodes, direct beyond — ROADMAP item 2).
+    solver: str = "auto"
+    solver_dense_max_nodes: int = 512
+    solver_max_seg_len: int = 128
 
     replace = _replace
 

@@ -27,6 +27,7 @@ from ndt_feature_graph_tpu.fusion import feature_fuser, fuser
 from ndt_feature_graph_tpu.graph import links as links_mod
 from ndt_feature_graph_tpu.graph import node as node_mod
 from ndt_feature_graph_tpu.graph import optimize as opt_mod
+from ndt_feature_graph_tpu.graph import sparse_direct as sparse_direct_mod
 
 FEATURE_MAP_CAPACITY = 128
 
@@ -351,6 +352,34 @@ class NDTFeatureGraphSLAM:
             mask=jnp.ones(e, bool),
         )
 
+    def _solve(self, gp, node_T, edges):
+        """Solver dispatch: dense Cholesky for small graphs, exact
+        segment-Schur (O(E) memory, graph/sparse_direct.py) beyond
+        gp.solver_dense_max_nodes or when gp.solver == "direct"."""
+        n = int(node_T.shape[0])
+        use_direct = gp.solver == "direct" or (
+            gp.solver == "auto" and n > gp.solver_dense_max_nodes
+        )
+        if use_direct:
+            part = sparse_direct_mod.make_segments(
+                n, edges, max_seg_len=gp.solver_max_seg_len
+            )
+            return sparse_direct_mod.optimize_direct(
+                node_T,
+                edges,
+                part,
+                prior_information=gp.prior_information,
+                iterations=gp.gn_iterations,
+                damping=gp.gn_damping,
+            )
+        return opt_mod.optimize(
+            node_T,
+            edges,
+            prior_information=gp.prior_information,
+            iterations=gp.gn_iterations,
+            damping=gp.gn_damping,
+        )
+
     def optimize_offline(self, verbose=False):
         """Full offline pipeline (ndt_feature_graph_opt.cpp:91-210):
         all-pairs feature links → D2D refine → rescore → fixpoint loop
@@ -387,13 +416,7 @@ class NDTFeatureGraphSLAM:
                 break
             prev_keep = keep_np
             edges = self._edges_from(link_set, keep_np, node_T)
-            node_T, chi2 = opt_mod.optimize(
-                node_T,
-                edges,
-                prior_information=gp.prior_information,
-                iterations=gp.gn_iterations,
-                damping=gp.gn_damping,
-            )
+            node_T, chi2 = self._solve(gp, node_T, edges)
         self.node_T = [np.asarray(t) for t in np.asarray(node_T)]
         return node_T
 
