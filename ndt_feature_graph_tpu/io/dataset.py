@@ -162,6 +162,109 @@ def loop_trajectory(n_steps=120, radius=5.0, center=(0.0, -0.5)):
     return jnp.asarray(np.stack([x, y, theta], -1), jnp.float32)
 
 
+def _point_segment_dist(points, seg):
+    """Min distance from each point (K, 2) to one segment [x0,y0,x1,y1]."""
+    p0 = np.asarray(seg[:2], np.float64)
+    e = np.asarray(seg[2:], np.float64) - p0
+    ee = float(e @ e)
+    d = points - p0
+    t = np.clip((d @ e) / max(ee, 1e-12), 0.0, 1.0)
+    proj = p0 + t[:, None] * e
+    return np.sqrt(((points - proj) ** 2).sum(-1))
+
+
+def random_world(
+    seed,
+    half_x=10.0,
+    half_y=7.0,
+    n_obstacles=12,
+    keepout=None,
+    clearance=1.0,
+):
+    """Randomized segment world: outer rectangle + random interior
+    stub walls and box pillars (ROADMAP item 7 — randomized world
+    generation; same role as the reference's simulated grid maps,
+    flirtlib_ros/src/simulate_scans.cpp:50-155, but procedurally
+    varied).
+
+    keepout: optional (K, 2) points (e.g. a trajectory) every interior
+    obstacle must stay `clearance` away from, so driven paths remain
+    collision-free by construction.
+    """
+    rng = np.random.default_rng(seed)
+    hx, hy = float(half_x), float(half_y)
+    segs = [
+        (-hx, -hy, hx, -hy), (hx, -hy, hx, hy),
+        (hx, hy, -hx, hy), (-hx, hy, -hx, -hy),
+    ]
+    keep = None if keepout is None else np.asarray(keepout, np.float64)
+
+    def admissible(cand):
+        if keep is None:
+            return True
+        return all(
+            _point_segment_dist(keep, s).min() > clearance for s in cand
+        )
+
+    placed = 0
+    for _ in range(n_obstacles * 8):
+        if placed >= n_obstacles:
+            break
+        if rng.random() < 0.4:
+            # Stub wall attached to one outer wall, running inward.
+            side = rng.integers(4)
+            length = rng.uniform(0.15, 0.5) * (hy if side < 2 else hx) * 2
+            if side == 0:    # bottom, going up
+                x = rng.uniform(-hx * 0.8, hx * 0.8)
+                cand = [(x, -hy, x, -hy + length)]
+            elif side == 1:  # top, going down
+                x = rng.uniform(-hx * 0.8, hx * 0.8)
+                cand = [(x, hy, x, hy - length)]
+            elif side == 2:  # left, going right
+                y = rng.uniform(-hy * 0.8, hy * 0.8)
+                cand = [(-hx, y, -hx + length, y)]
+            else:            # right, going left
+                y = rng.uniform(-hy * 0.8, hy * 0.8)
+                cand = [(hx, y, hx - length, y)]
+        else:
+            # Box pillar.
+            w = rng.uniform(0.4, 1.6)
+            h = rng.uniform(0.4, 1.6)
+            cx = rng.uniform(-hx + 1 + w, hx - 1 - w)
+            cy = rng.uniform(-hy + 1 + h, hy - 1 - h)
+            x0, x1 = cx - w / 2, cx + w / 2
+            y0, y1 = cy - h / 2, cy + h / 2
+            cand = [
+                (x0, y0, x1, y0), (x1, y0, x1, y1),
+                (x1, y1, x0, y1), (x0, y1, x0, y0),
+            ]
+        if admissible(cand):
+            segs.extend(cand)
+            placed += 1
+    return jnp.asarray(segs, jnp.float32)
+
+
+def random_loop_scenario(seed, n_steps=80, half_x=10.0, half_y=7.0):
+    """A randomized (world, loop-trajectory) pair: ellipse loop with
+    randomized radii/center/phase, world obstacles placed clear of it."""
+    rng = np.random.default_rng(seed)
+    rx = rng.uniform(0.45, 0.65) * half_x
+    ry = rng.uniform(0.45, 0.65) * half_y
+    cx = rng.uniform(-0.15, 0.15) * half_x
+    cy = rng.uniform(-0.15, 0.15) * half_y
+    phase = rng.uniform(0, 2 * np.pi)
+    a = np.linspace(0, 2 * np.pi, n_steps) + phase
+    x = cx + rx * np.cos(a)
+    y = cy + ry * np.sin(a)
+    theta = np.unwrap(np.arctan2(np.gradient(y), np.gradient(x)))
+    traj = jnp.asarray(np.stack([x, y, theta], -1), jnp.float32)
+    world = random_world(
+        seed, half_x=half_x, half_y=half_y,
+        keepout=np.stack([x, y], -1), clearance=1.1,
+    )
+    return world, traj
+
+
 def corridor_trajectory(n_steps=60, x0=-8.0, x1=8.0, y=-4.5):
     """Straight drive along the lower corridor."""
     x = np.linspace(x0, x1, n_steps)
