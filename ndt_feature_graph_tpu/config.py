@@ -127,7 +127,12 @@ class FeatureParams:
     ransac_inlier_ratio: float = 0.1
     ransac_dist_threshold: float = 0.6  # descriptor chi2 gate
     ransac_rigidity: float = 0.0499
-    ransac_hypotheses: int = 256        # fixed parallel hypothesis budget
+    ransac_hypotheses: int = 256        # padded parallel hypothesis capacity
+    # flirtlib's adaptive success-probability termination flag (the
+    # reference constructs every matcher with adaptive=false, e.g.
+    # fuser_hmt.h:213); even when false the (success_prob, inlier_ratio)
+    # pair sets the hypothesis budget N = log(1-p)/log(1-w^2).
+    ransac_adaptive: bool = False
     max_correspondences: int = 64
 
     replace = _replace

@@ -17,6 +17,7 @@ winner's inliers.  One jit, no data-dependent shapes.
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -122,10 +123,37 @@ def match_sets(
 
     # 4. MSAC scoring over all candidates for every hypothesis.
     proj = _apply(hyp_T[:, None, :].reshape(m_hyp, 1, 3), b[None])  # (M, C, 2)
-    r2 = jnp.sum((a[None] - proj) ** 2, -1)           # (M, C)
-    r2 = jnp.where(corr_mask[None, :], r2, acc)       # outliers: fixed cost
+    r2_raw = jnp.sum((a[None] - proj) ** 2, -1)       # (M, C)
+    r2 = jnp.where(corr_mask[None, :], r2_raw, acc)   # outliers: fixed cost
     msac = jnp.sum(jnp.minimum(r2, acc), axis=1)
     msac = jnp.where(hyp_ok, msac, jnp.inf)
+
+    # 4b. Hypothesis budget from the RANSAC stopping bound
+    # N(w) = log(1-p) / log(1-w^2) — this is how flirtlib's
+    # RansacFeatureSetMatcher turns (success probability, inlier ratio)
+    # into its iteration count, so the three reference
+    # parameterizations (p=0.9/0.95/0.98, w=0.1/0.4) genuinely differ
+    # in matching effort here too.  Static: params is a static arg.
+    p_succ = min(max(params.ransac_success_prob, 1e-6), 1.0 - 1e-9)
+    w0 = min(max(params.ransac_inlier_ratio, 1e-6), 1.0 - 1e-9)
+    n_budget = int(
+        math.ceil(math.log1p(-p_succ) / math.log1p(-w0 * w0))
+    )
+    considered = jnp.arange(m_hyp) < min(max(n_budget, 1), m_hyp)
+    if params.ransac_adaptive:
+        # Adaptive variant (the flag the reference leaves false):
+        # hypothesis i is still drawn only while i < N(best inlier
+        # ratio seen before i) — emulated exactly on fixed shapes via
+        # a running max, since N(w) is non-increasing in w.
+        n_cand = jnp.maximum(jnp.sum(corr_mask), 1).astype(jnp.float32)
+        inl_cnt = jnp.sum((r2_raw < acc) & corr_mask[None, :], axis=1)
+        ratio = jnp.where(hyp_ok, inl_cnt / n_cand, 0.0)
+        run = jax.lax.cummax(jnp.maximum(ratio, w0))
+        run_prev = jnp.concatenate([jnp.full((1,), w0), run[:-1]])
+        w2 = jnp.clip(run_prev * run_prev, 1e-9, 1.0 - 1e-6)
+        bound = math.log1p(-p_succ) / jnp.log1p(-w2)
+        considered &= jnp.arange(m_hyp) < jnp.ceil(bound)
+    msac = jnp.where(considered, msac, jnp.inf)
 
     best = jnp.argmin(msac)
     T0 = hyp_T[best]

@@ -131,3 +131,34 @@ def test_ransac_empty_input():
                      jax.random.PRNGKey(3))
     assert not bool(res.valid)
     assert np.isfinite(np.asarray(res.T)).all()
+
+
+def test_ransac_budget_parameterizations():
+    """The (success_prob, inlier_ratio) pair must set the effective
+    hypothesis budget like flirtlib's stopping bound
+    N = log(1-p)/log(1-w^2) — all three reference parameterizations
+    must still recover the pose on overlapping scans."""
+    pose1 = jnp.array([0.0, -4.0, 0.3])
+    pose2 = jnp.array([0.6, -3.8, 0.55])
+    f1, d1, _ = world_features(pose1)
+    f2, d2, _ = world_features(pose2)
+    variants = {
+        "fuser": FP,  # p=0.9, w=0.1 -> N=230
+        "flirtlib_ros": FP.replace(
+            ransac_success_prob=0.95, ransac_inlier_ratio=0.4,
+            ransac_dist_threshold=0.4, ransac_rigidity=0.0384,
+        ),  # N=18
+        "startup": FP.replace(
+            ransac_success_prob=0.98, ransac_inlier_ratio=0.4,
+            ransac_dist_threshold=0.4, ransac_rigidity=0.0384,
+        ),  # N=23
+        "adaptive": FP.replace(ransac_adaptive=True),
+    }
+    expect = np.asarray(se2.sub(pose1, pose2))
+    for name, fp in variants.items():
+        res = match_sets(fp, f1, d1, f2, d2, jax.random.PRNGKey(4))
+        assert bool(res.valid), name
+        got = np.asarray(res.T)
+        np.testing.assert_allclose(got[:2], expect[:2], atol=0.2,
+                                   err_msg=name)
+        assert abs(se2.normalize_angle(got[2] - expect[2])) < 0.1, name
