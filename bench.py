@@ -1,20 +1,29 @@
-"""Benchmark: sustained scan-to-submap fusion throughput (scans/s) on
-one chip at the reference's canonical operating point (resolution
-0.5 m, 100x100 m map, 30 m sensor range, 720-beam scans —
-launch/gustav_laser_tf.launch:11-23).
+"""Benchmark: sustained SLAM throughput (scans/s) on one chip at the
+reference's canonical operating point (resolution 0.5 m, 100x100 m map,
+30 m sensor range, 720-beam scans — launch/gustav_laser_tf.launch:11-23).
 
-Measures the device-resident sequence driver
-(fusion/scan_driver.run_sequence): the whole scan chain runs inside one
-XLA executable, and a full-state digest computed in the same executable
-guarantees every map update + registration actually executed (no async
-under-measurement).
+Two measurements:
+  - full_slam_scans_per_sec (HEADLINE): the complete online graph-SLAM
+    pipeline — feature detect + describe + RANSAC + joint NDT/feature/
+    odometry fusion + map update + on-device split detection
+    (fusion/scan_driver.run_graph_chunk) with host-side node freezing at
+    splits — i.e. the reference's whole per-scan online node
+    (publish_graph_message.cpp:1259-1628) plus graph maintenance.
+  - fuser_scans_per_sec: NDT-only scan-to-submap fusion
+    (fusion/scan_driver.run_sequence), the narrow registration+map hot
+    path.
+
+Measurement protocol (CLAUDE.md): whole workloads inside jitted
+executables, host-distinct inputs per rep, consumption of outputs that
+depend on every step, block per rep, median over reps.
 
 The reference publishes no numbers (BASELINE.md); vs_baseline is
 measured against the real-time bar the reference must sustain online —
 50 scans/s (a 2D lidar's top scan rate; the reference gates updates at
 0.02 m increments, publish_graph_message.cpp:316).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"extra"}.
 """
 
 import json
@@ -22,16 +31,21 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from ndt_feature_graph_tpu.config import FuserParams, NDTMapParams
+from ndt_feature_graph_tpu.config import (
+    FeatureParams, FuserParams, GraphParams, NDTMapParams, SLAMParams,
+)
 from ndt_feature_graph_tpu.fusion import fuser, scan_driver
+from ndt_feature_graph_tpu.graph.slam import NDTFeatureGraphSLAM
 from ndt_feature_graph_tpu.io import dataset
 
 BASELINE_SCANS_PER_SEC = 50.0
+T_STEPS = 40
 
 
-def main():
-    params = FuserParams(
+def canonical_params():
+    return FuserParams(
         ndt=NDTMapParams(
             resolution=0.5,
             size_x=100.0,
@@ -40,13 +54,19 @@ def main():
             max_points_per_scan=720,
             max_cells=1024,
         ),
+        features=FeatureParams(num_beams=720, max_range=30.0),
     )
-    t_steps = 40
 
-    traj = dataset.loop_trajectory(t_steps, radius=5.0)
-    seq = dataset.simulate_sequence(
+
+def make_sequence():
+    traj = dataset.loop_trajectory(T_STEPS, radius=5.0)
+    return dataset.simulate_sequence(
         jax.random.PRNGKey(0), traj, num_beams=720, max_range=30.0
     )
+
+
+def bench_fuser(params, seq, reps=12):
+    """NDT-only fusion throughput (device-resident sequence driver)."""
     pts_all, mask_all = jax.vmap(dataset.scan_to_points)(
         seq.ranges, seq.hit
     )
@@ -69,11 +89,6 @@ def main():
     out = run(state, odom, pts_all[1:], mask_all[1:])
     jax.block_until_ready(out)
 
-    # Measurement protocol: every rep gets host-distinct inputs (so no
-    # caching layer can memoize) and blocks on the full-state digest
-    # (so every scan's registration + map update provably executed).
-    # Median over reps discards tunnel warmup outliers.
-    reps = 12
     times = []
     for k in range(reps):
         odom_k = odom + (k + 1) * 1e-5
@@ -82,17 +97,62 @@ def main():
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     times.sort()
-    per_seq = times[len(times) // 2]
-    scans_per_sec = (t_steps - 1) / per_seq
+    return (T_STEPS - 1) / times[len(times) // 2]
+
+
+def bench_full_slam(params, seq, reps=6):
+    """Full online graph SLAM: feature pipeline + fusion + on-device
+    split detection, host handling only split events.  End-to-end wall
+    time of the chunked driver over the sequence (splits every
+    new_node_transl_dist=2 m -> several node freezes per rep)."""
+    sparams = SLAMParams(
+        fuser=params,
+        graph=GraphParams(new_node_transl_dist=2.0, max_nodes=64),
+    )
+
+    def run_once(odom):
+        slam = NDTFeatureGraphSLAM(sparams, seed=0)
+        slam.initialize(
+            seq.gt[0], jnp.zeros(3), seq.ranges[0], seq.hit[0]
+        )
+        t0 = time.perf_counter()
+        traj = slam.run_sequence_chunked(
+            odom, seq.ranges, seq.hit, chunk=16
+        )
+        # Consumption: the trajectory (host numpy) depends on every
+        # chunk's outputs; splits force freeze_node materialization.
+        assert np.isfinite(traj).all()
+        dt = time.perf_counter() - t0
+        return dt, len(slam.nodes)
+
+    # Warmup: compiles run_graph_chunk + freeze/init paths.
+    run_once(seq.odom)
+    times = []
+    n_nodes = 0
+    for k in range(reps):
+        odom_k = seq.odom + (k + 1) * 1e-5
+        dt, n_nodes = run_once(odom_k)
+        times.append(dt)
+    times.sort()
+    return (T_STEPS - 1) / times[len(times) // 2], n_nodes
+
+
+def main():
+    params = canonical_params()
+    seq = make_sequence()
+    fuser_sps = bench_fuser(params, seq)
+    full_sps, n_nodes = bench_full_slam(params, seq)
     print(
         json.dumps(
             {
-                "metric": "fuser_scans_per_sec",
-                "value": round(scans_per_sec, 2),
+                "metric": "full_slam_scans_per_sec",
+                "value": round(full_sps, 2),
                 "unit": "scans/s",
-                "vs_baseline": round(
-                    scans_per_sec / BASELINE_SCANS_PER_SEC, 3
-                ),
+                "vs_baseline": round(full_sps / BASELINE_SCANS_PER_SEC, 3),
+                "extra": {
+                    "fuser_scans_per_sec": round(fuser_sps, 2),
+                    "nodes_built": n_nodes,
+                },
             }
         )
     )

@@ -115,6 +115,8 @@ class FeatureParams:
     peak_min_value: float = 0.34
     peak_min_diff: float = 0.001
     max_features: int = 32
+    smooth_half_beams: int = 48   # static half-width of the arc-length
+                                  # smoothing window (beams)
     # Descriptor (beta grid)
     min_rho: float = 0.02
     max_rho: float = 1.0

@@ -70,17 +70,43 @@ def describe(
     )
     hok = hok & hit[None, :] & feats.mask[:, None]
 
-    # --- Misses: free-space samples strictly before each endpoint ---
+    # --- Misses: free space along each beam *inside the support
+    # circle* of each feature (flirtlib ray-traces each beam through
+    # the beta grid; sampling the whole beam instead aliases badly —
+    # at 4 rho bins over ~1 m support, samples metres apart miss
+    # entire bins).  Ray t*d vs circle |t*d - p| = s:
+    # t0/1 = d.p -/+ sqrt((d.p)^2 - |p|^2 + s^2), clipped to the free
+    # segment [0, range).  K length-weighted samples per chord.
+    d_hat = jnp.stack(
+        [jnp.cos(beam_angles), jnp.sin(beam_angles)], -1
+    )                                                          # (B, 2)
+    dp = jnp.einsum("bc,fc->fb", d_hat, feats.pts)             # (F, B)
+    p2 = jnp.sum(feats.pts**2, -1)                             # (F,)
+    disc = dp * dp - p2[:, None] + support[:, None] ** 2       # (F, B)
+    has_chord = disc > 0.0
+    root = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = jnp.maximum(dp - root, 0.0)
+    t1 = jnp.minimum(dp + root, ranges[None, :] * 0.999)
+    chord = jnp.maximum(t1 - t0, 0.0)                          # (F, B)
     s_steps = 8
-    s = (jnp.arange(s_steps) + 0.5) / (s_steps + 0.5)           # < 1
-    sample_pts = endpoints[None, :, :] * s[:, None, None]       # (S, B, 2)
-    mrel = sample_pts[None] - feats.pts[:, None, None, :]       # (F, S, B, 2)
+    sfrac = (jnp.arange(s_steps) + 0.5) / s_steps              # (K,)
+    t_s = t0[:, :, None] + chord[:, :, None] * sfrac           # (F, B, K)
+    sample_pts = t_s[..., None] * d_hat[None, :, None, :]      # (F, B, K, 2)
+    mrel = sample_pts - feats.pts[:, None, None, :]
     mbin, mok = polar_bins(
         mrel,
         feats.angles[:, None, None],
         support[:, None, None],
     )
-    mok = mok & feats.mask[:, None, None]
+    mok = mok & has_chord[:, :, None] & (chord[:, :, None] > 1e-6) \
+        & feats.mask[:, None, None]
+    # Weight each sample by the chord length it represents, in units
+    # of the radial bin width, so miss mass ~ number of cells the beam
+    # traverses (flirtlib's integer cell-traversal counts).
+    bin_w = jnp.maximum((support - params.min_rho) / r_bins, 1e-6)  # (F,)
+    mw = jnp.where(
+        mok, chord[:, :, None] / s_steps / bin_w[:, None, None], 0.0
+    )
 
     # Scatter into (F, nbins).
     fidx = jnp.arange(f)
@@ -90,7 +116,7 @@ def describe(
     )
     mflat = (fidx[:, None, None] * nbins + mbin).reshape(-1)
     misses = jnp.zeros(f * nbins, jnp.float32).at[mflat].add(
-        mok.reshape(-1).astype(jnp.float32)
+        mw.reshape(-1)
     )
 
     hits = hits.reshape(f, nbins)

@@ -8,12 +8,15 @@ flirtlib_utils.h:15-35: 5 scales, base sigma 0.2, step 1.4, peak finder
 
 The reference computes graph-geodesic Gaussian smoothing over a
 distance-MST of the scan polyline — inherently sequential.  Here each
-scale smooths the polyline with a fixed-width Gaussian over *arc
-length* approximated in beam-index space, computes the turning-angle
-curvature response at a scale-proportional span, and peak-finds
-local maxima — all fixed-shape (S, B) tensor ops, batchable over scans
-via vmap.  Occlusion boundaries are suppressed with a range-jump gate
-(flirtlib handles this by polyline segmentation).
+scale smooths the polyline with a Gaussian over the *actual cumulative
+arc length* of the scan polyline (not a fixed beam-index width): for
+beam i the weight on neighbour j is exp(-((arc_j - arc_i)/sigma)^2/2),
+zeroed across occlusion jumps and missing returns.  The curvature
+response is the turning angle between the forward and backward points
+one sigma of arc away (found by searchsorted on the cumulative arc) —
+so a corner at 2 m and the same corner at 15 m produce the same
+response at the same sigma.  All fixed-shape (S, B, W) tensor ops,
+batchable over scans via vmap.
 """
 
 from __future__ import annotations
@@ -44,19 +47,6 @@ class FeatureSet(NamedTuple):
         return self._replace(pts=pts, angles=angles)
 
 
-def _gaussian_kernel(sigma_bins: float, half: int):
-    x = np.arange(-half, half + 1)
-    k = np.exp(-0.5 * (x / max(sigma_bins, 1e-3)) ** 2)
-    return jnp.asarray(k / k.sum(), jnp.float32)
-
-
-def _smooth_1d(x, kernel):
-    """'same' Gaussian convolution of a 1D signal with edge padding."""
-    pad = (kernel.shape[0] - 1) // 2
-    xp = jnp.pad(x, (pad, pad), mode="edge")
-    return jnp.convolve(xp, kernel, mode="valid")
-
-
 def detect(params: FeatureParams, ranges, hit) -> FeatureSet:
     """Detect up to `max_features` interest points in one scan.
 
@@ -68,45 +58,64 @@ def detect(params: FeatureParams, ranges, hit) -> FeatureSet:
         [ranges * jnp.cos(angles), ranges * jnp.sin(angles)], -1
     )
 
-    # Occlusion/jump gate: big range discontinuities are not geometry.
-    jump = jnp.abs(jnp.diff(ranges, prepend=ranges[:1])) > 0.5
-    jump = jump | jnp.roll(jump, -1)
+    # Polyline arc length.  seg[i] = |p_i - p_{i-1}|, seg[0] = 0.
+    seg = jnp.linalg.norm(pts - jnp.roll(pts, 1, axis=0), axis=-1)
+    seg = seg.at[0].set(0.0)
+    cumarc = jnp.cumsum(seg)
+
+    # Occlusion/jump gate: big range discontinuities are not geometry
+    # (flirtlib handles this by polyline segmentation; here a jump
+    # severs smoothing weights and curvature spans).
+    jump = (jnp.abs(ranges - jnp.roll(ranges, 1)) > 0.5).at[0].set(False)
+    jump = jump | ~hit | ~jnp.roll(hit, 1)
+    seg_id = jnp.cumsum(jump.astype(jnp.int32))      # polyline segment id
+
+    # Banded neighbour window for smoothing.
+    half = int(params.smooth_half_beams)
+    offs = jnp.arange(-half, half + 1)
+    nidx = jnp.clip(jnp.arange(b)[:, None] + offs[None, :], 0, b - 1)
+    darc = jnp.abs(cumarc[nidx] - cumarc[:, None])         # (B, W)
+    same_piece = (seg_id[nidx] == seg_id[:, None]) & hit[nidx]
 
     responses = []
+    tangents = []
     scale_sigmas = []
     for i in range(params.num_scales):
         sigma = params.base_sigma * params.sigma_step**i
-        # Convert sigma (metres of arc) to beams using the median arc
-        # step at ~5 m range (2*pi*5/B per beam).
-        arc_per_beam = 2.0 * np.pi * 5.0 / b
-        sigma_bins = sigma / arc_per_beam
-        half = int(min(max(2, np.ceil(3 * sigma_bins)), 40))
-        kern = _gaussian_kernel(sigma_bins, half)
-        sx = _smooth_1d(pts[:, 0], kern)
-        sy = _smooth_1d(pts[:, 1], kern)
+        w = jnp.exp(-0.5 * (darc / sigma) ** 2) * same_piece
+        wsum = jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-9)
+        sm = jnp.einsum("bw,bwc->bc", w / wsum, pts[nidx])  # (B, 2)
 
-        # Turning angle at span k ~ sigma_bins.
-        k = int(min(max(1, round(sigma_bins)), 30))
-        fx = jnp.roll(sx, -k) - sx
-        fy = jnp.roll(sy, -k) - sy
-        bx = sx - jnp.roll(sx, k)
-        by = sy - jnp.roll(sy, k)
-        dot = fx * bx + fy * by
-        cross = bx * fy - by * fx
+        # Forward/backward points one sigma of arc away.
+        fwd = jnp.clip(
+            jnp.searchsorted(cumarc, cumarc + sigma), 0, b - 1
+        )
+        bwd = jnp.clip(
+            jnp.searchsorted(cumarc, cumarc - sigma), 0, b - 1
+        )
+        f = sm[fwd] - sm
+        bk = sm - sm[bwd]
+        dot = f[:, 0] * bk[:, 0] + f[:, 1] * bk[:, 1]
+        cross = bk[:, 0] * f[:, 1] - bk[:, 1] * f[:, 0]
         curv = jnp.abs(jnp.arctan2(cross, dot + 1e-12))
 
         ok = (
             hit
-            & jnp.roll(hit, k)
-            & jnp.roll(hit, -k)
-            & ~jump
-            & ~jnp.roll(jump, k)
-            & ~jnp.roll(jump, -k)
+            & hit[fwd]
+            & hit[bwd]
+            & (seg_id[fwd] == seg_id)
+            & (seg_id[bwd] == seg_id)
+            & (fwd > jnp.arange(b))
+            & (bwd < jnp.arange(b))
         )
         responses.append(jnp.where(ok, curv, 0.0))
+        # Scale-smoothed tangent (for a stable orientation — the raw
+        # polyline tangent jitters the descriptor's phi bins).
+        tangents.append(sm[fwd] - sm[bwd])
         scale_sigmas.append(sigma)
 
     resp = jnp.stack(responses)                     # (S, B)
+    tang = jnp.stack(tangents)                      # (S, B, 2)
 
     # Peak finding per scale (SimpleMinMaxPeakFinder semantics: strict
     # local maximum with minimum prominence and absolute threshold).
@@ -132,13 +141,12 @@ def detect(params: FeatureParams, ranges, hit) -> FeatureSet:
     sel_scale = sigmas[best_scale[top_idx]]
     sel_pts = pts[top_idx]
 
-    # Orientation: normal of the local tangent (pointing toward sensor,
-    # like flirtlib's normal-based orientation).
-    tangent = jnp.roll(pts, -2, axis=0) - jnp.roll(pts, 2, axis=0)
-    normal_angle = jnp.arctan2(tangent[:, 0], -tangent[:, 1])
+    # Orientation: normal of the scale-smoothed tangent (pointing
+    # toward the sensor, like flirtlib's normal-based orientation).
+    sel_tang = tang[best_scale[top_idx], top_idx]    # (F, 2)
+    na = jnp.arctan2(sel_tang[:, 0], -sel_tang[:, 1])
     # Flip normals to face the sensor.
     to_sensor = -sel_pts
-    na = normal_angle[top_idx]
     nvec = jnp.stack([jnp.cos(na), jnp.sin(na)], -1)
     flip = jnp.sum(nvec * to_sensor, -1) < 0
     na = jnp.where(flip, na + np.pi, na)

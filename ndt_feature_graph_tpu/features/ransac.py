@@ -83,20 +83,41 @@ def match_sets(
     bad = ~(ref.mask[:, None] & mov.mask[None, :])
     dist = jnp.where(bad, jnp.inf, dist)
 
-    # 2. Top-C candidate correspondences below the descriptor gate.
-    flat = dist.reshape(-1)
-    neg_topk, idx = jax.lax.top_k(-flat, c_cap)
+    # 2. Candidate correspondences, flirtlib-style: ONE candidate per
+    # moving point — its best-matching reference point below the
+    # descriptor gate (RansacFeatureSetMatcher builds
+    # possibleCorrespondences as per-data-point best matches).  Taking
+    # top-K over the full matrix instead admits duplicate matches of
+    # the same moving point, which double-count in MSAC and bias the
+    # Procrustes refinement.  Padded to C = max_correspondences by
+    # keeping the C best moving points.
+    best_ref = jnp.argmin(dist, axis=0)               # (Fmov,)
+    best_d = jnp.min(dist, axis=0)                    # (Fmov,)
+    neg_topk, mov_sel = jax.lax.top_k(-best_d, min(c_cap, best_d.shape[0]))
+    if mov_sel.shape[0] < c_cap:
+        padn = c_cap - mov_sel.shape[0]
+        mov_sel = jnp.concatenate([mov_sel, jnp.zeros(padn, mov_sel.dtype)])
+        neg_topk = jnp.concatenate(
+            [neg_topk, jnp.full((padn,), -jnp.inf, neg_topk.dtype)]
+        )
     cd = -neg_topk
-    corr_ref = idx // dist.shape[1]
-    corr_mov = idx % dist.shape[1]
+    corr_mov = mov_sel
+    corr_ref = best_ref[mov_sel]
     corr_mask = cd < params.ransac_dist_threshold
 
     a = ref.pts[corr_ref]      # (C, 2) target positions
     b = mov.pts[corr_mov]      # (C, 2) source positions
 
-    # 3. M two-point hypotheses.
+    # 3. M two-point hypotheses, drawn among VALID candidates only
+    # (flirtlib samples from the actual correspondence list).  The
+    # candidates are distance-sorted, so the corr_mask prefix of
+    # length n_valid is exactly the valid set — sample uniform
+    # indices below it.
+    n_valid = jnp.sum(corr_mask).astype(jnp.float32)
     ki, _ = jax.random.split(key)
-    pair_idx = jax.random.randint(ki, (m_hyp, 2), 0, c_cap)
+    u = jax.random.uniform(ki, (m_hyp, 2))
+    pair_idx = jnp.floor(u * jnp.maximum(n_valid, 1.0)).astype(jnp.int32)
+    pair_idx = jnp.clip(pair_idx, 0, c_cap - 1)
     i0, i1 = pair_idx[:, 0], pair_idx[:, 1]
     a0, a1 = a[i0], a[i1]
     b0, b1 = b[i0], b[i1]

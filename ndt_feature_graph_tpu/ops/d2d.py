@@ -203,8 +203,12 @@ def newton_match(
     # Fixed-trip scan with masked updates instead of lax.while_loop:
     # dynamic trip counts serialize badly on TPU (each while iteration
     # pays a sync/dispatch overhead ~20x the 3-DoF math), whereas a
-    # static unrolled scan pipelines; converged iterations are frozen
-    # by the `stop` mask at negligible cost.
+    # static unrolled scan pipelines.  The budget is spent in CHUNKS of
+    # `trial_chunk` trials; between chunks a lax.cond skips the entire
+    # remaining work once `stop` is set — so a scan converging in ~8
+    # trials pays for ~12, not the full 60 (trial-budget tuning,
+    # VERDICT round-1 item 6).  Under vmap the cond degrades to the
+    # old masked behaviour (both branches execute) — no regression.
     def body(state, _):
         d, f, lam, best_d, best_f, itr, stop = state
         _, g, H = fgh_fn(d)
@@ -255,8 +259,20 @@ def newton_match(
         jnp.int32(0),
         jnp.bool_(False),
     )
+
+    trial_chunk = 6
+    n_chunks = -(-max_trials // trial_chunk)
+
+    def chunk(state, _):
+        def run(st):
+            out, _ = jax.lax.scan(body, st, None, length=trial_chunk)
+            return out
+
+        state = jax.lax.cond(state[-1], lambda st: st, run, state)
+        return state, None
+
     (d, f, lam, best_d, best_f, itr, stop), _ = jax.lax.scan(
-        body, init, None, length=max_trials
+        chunk, init, None, length=n_chunks
     )
 
     # Best fallback (fusion.h:945-952 "crap iterations" path).
