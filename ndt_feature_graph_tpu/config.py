@@ -91,7 +91,11 @@ class MatcherParams:
     cov_scale: float = 1.0            # scale on inv-Hessian pose covariance
     use_pallas: bool = False          # fused Pallas pair-derivative kernel
                                       # (ops/pallas_kernels.py) instead of
-                                      # the XLA-fused analytic path
+                                      # the XLA-fused analytic path.
+                                      # Measured on TPU v5e: the kernel
+                                      # LOSES ~10^4x (34 vs 382k scans/s,
+                                      # see pallas_kernels.py docstring) —
+                                      # keep False.
 
     replace = _replace
 
@@ -122,6 +126,13 @@ class FeatureParams:
     max_rho: float = 1.0
     rho_bins: int = 4
     phi_bins: int = 12
+    # Descriptor statistic: "beta_mean" = per-bin Beta posterior mean
+    # (one histogram); "hitmiss" = separately-normalized hit and miss
+    # histograms concatenated (carries the evidence counts the way
+    # flirtlib's BetaGrid does, conversions.cpp:234-258 — chi2 on the
+    # concatenation equals the average of the per-histogram chi2s).
+    # The recall study in EVAL.md justifies the default.
+    descriptor_stat: str = "beta_mean"
     # RANSAC (fuser parameterization, fuser_hmt.h:213; flirtlib_ros and
     # startup_loc variants are produced via replace()).
     ransac_acceptance: float = 0.0599   # inlier residual^2 gate (m^2)
@@ -175,6 +186,18 @@ class GraphParams:
     valid_max_dist: float = 1.0
     valid_max_angular_dist: float = 0.2
     valid_min_idx_dist: int = 2
+    # Offline all-pairs scalability: candidate gating + batching.  The
+    # reference proposes links for every node pair (O(N^2) sequential
+    # loop, ndt_feature_graph.cpp:395-405) — fine at its demo scale
+    # (8 nodes), unusable at the solver's proven scale (4k nodes).
+    # offline_candidate_dist > 0 keeps only pairs whose current global
+    # estimates are within that Euclidean distance (the same gate the
+    # online closure uses); 0.0 = all pairs (reference semantics).
+    offline_candidate_dist: float = 0.0
+    # link_batch_size > 0 processes candidate pairs through the
+    # propose/refine/rescore pipeline in fixed-size chunks (one compile,
+    # bounded memory) instead of one giant batch; 0 = single batch.
+    link_batch_size: int = 0
     # incremental edge source between consecutive nodes:
     # "fuse" (fused local pose) or "odom" (raw local odometry) —
     # getAllIncrementalFuseLinks / getAllIncrementalOdomLinks

@@ -121,5 +121,21 @@ def describe(
 
     hits = hits.reshape(f, nbins)
     misses = misses.reshape(f, nbins)
+    if params.descriptor_stat == "hitmiss":
+        # Separately-normalized hit/miss histograms, concatenated with
+        # weight 1/2 each: symmetric chi2 on the concatenation equals
+        # the average of the per-histogram chi2 distances, so the
+        # reference's [0, 1] gates still transplant.
+        hn = hits / jnp.maximum(jnp.sum(hits, -1, keepdims=True), 1e-9)
+        mn = misses / jnp.maximum(
+            jnp.sum(misses, -1, keepdims=True), 1e-9
+        )
+        return jnp.concatenate([0.5 * hn, 0.5 * mn], -1)
     # Beta posterior mean per bin.
     return (hits + 1.0) / (hits + misses + 2.0)
+
+
+def descriptor_dim(params: FeatureParams) -> int:
+    """Descriptor row width for the configured statistic."""
+    nbins = params.rho_bins * params.phi_bins
+    return 2 * nbins if params.descriptor_stat == "hitmiss" else nbins

@@ -129,10 +129,12 @@ def stack_nodes(nodes: list) -> NodeData:
 
 def empty_node(params: FuserParams, fm_capacity: int) -> NodeData:
     """Shape template for (de)serialization."""
+    from ndt_feature_graph_tpu.features.descriptor import descriptor_dim
+
     h, w = params.ndt.grid_h, params.ndt.grid_w
     mc = params.ndt.max_cells
     fp = params.features
-    d = fp.rho_bins * fp.phi_bins
+    d = descriptor_dim(fp)
     z3 = jnp.zeros(3)
     return NodeData(
         T=z3,

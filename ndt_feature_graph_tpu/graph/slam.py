@@ -23,6 +23,7 @@ import numpy as np
 
 from ndt_feature_graph_tpu.config import GraphParams, FuserParams, SLAMParams
 from ndt_feature_graph_tpu.core import motion_model, se2
+from ndt_feature_graph_tpu.features.descriptor import descriptor_dim
 from ndt_feature_graph_tpu.fusion import feature_fuser, fuser
 from ndt_feature_graph_tpu.graph import links as links_mod
 from ndt_feature_graph_tpu.graph import node as node_mod
@@ -66,9 +67,8 @@ class NDTFeatureGraphSLAM:
             p, jnp.zeros(3), jnp.asarray(sensor_pose, jnp.float32),
             ranges, hit, self._split_key(),
         )
-        fp = p.features
         self.fmap = node_mod.empty_feature_map(
-            FEATURE_MAP_CAPACITY, fp.rho_bins * fp.phi_bins
+            FEATURE_MAP_CAPACITY, descriptor_dim(p.features)
         )
         self._accumulate_features()
         self.trajectory.append(self.current_T.copy())
@@ -219,9 +219,8 @@ class NDTFeatureGraphSLAM:
             p, jnp.zeros(3), self.state.base.sensor_pose, ranges, hit,
             self._split_key(),
         )
-        fp = p.features
         self.fmap = node_mod.empty_feature_map(
-            FEATURE_MAP_CAPACITY, fp.rho_bins * fp.phi_bins
+            FEATURE_MAP_CAPACITY, descriptor_dim(p.features)
         )
         self._accumulate_features()
         self.n_updates_in_node = 0
@@ -376,16 +375,32 @@ class NDTFeatureGraphSLAM:
     # ---------------- offline ----------------
 
     def candidate_pairs(self):
-        """All node pairs (i < j) with index distance >= the validation
-        minimum — padded arrays."""
+        """Node pairs (i < j) with index distance >= the validation
+        minimum — padded arrays.  When gp.offline_candidate_dist > 0,
+        pairs are additionally gated by the Euclidean distance between
+        the current global node estimates (scalability gate — the
+        validation step would reject distant pairs anyway via
+        valid_max_dist, so gating candidates only skips work that could
+        never survive getValidLinks, ndt_feature_graph.cpp:527-556)."""
         gp = self.params.graph
         n = len(self.nodes)
-        pairs = [
-            (i, j)
-            for i in range(n)
-            for j in range(i + 1, n)
-            if j - i >= gp.valid_min_idx_dist
-        ]
+        if gp.offline_candidate_dist > 0 and n > 1:
+            pos = np.stack(self.node_T)[:, :2]
+            d2 = ((pos[:, None, :] - pos[None, :, :]) ** 2).sum(-1)
+            near = d2 <= gp.offline_candidate_dist ** 2
+            pairs = [
+                (i, j)
+                for i in range(n)
+                for j in range(i + gp.valid_min_idx_dist, n)
+                if near[i, j]
+            ]
+        else:
+            pairs = [
+                (i, j)
+                for i in range(n)
+                for j in range(i + 1, n)
+                if j - i >= gp.valid_min_idx_dist
+            ]
         cap = max(len(pairs), 1)
         ref = np.zeros(cap, np.int32)
         mov = np.zeros(cap, np.int32)
@@ -393,6 +408,43 @@ class NDTFeatureGraphSLAM:
         for k, (i, j) in enumerate(pairs):
             ref[k], mov[k], mask[k] = i, j, True
         return jnp.asarray(ref), jnp.asarray(mov), jnp.asarray(mask)
+
+    def _propose_links(self, stacked, ref, mov, mask):
+        """Propose -> D2D-refine -> rescore candidate links.  With
+        gp.link_batch_size > 0 the padded pair list is processed in
+        fixed-size chunks (each chunk one dispatch of the same compiled
+        executables — bounded device memory at any candidate count);
+        otherwise one batch over all pairs."""
+        p = self.params.fuser
+        gp = self.params.graph
+
+        def run(ref_c, mov_c, mask_c):
+            ls = links_mod.compute_links_batch(
+                p.features, p.ndt.resolution, stacked, ref_c, mov_c,
+                mask_c, self._split_key(),
+            )
+            ls = links_mod.refine_links_d2d(
+                p.ndt, p.matcher, stacked, ls
+            )
+            return links_mod.rescore_links(
+                p.ndt.resolution, stacked, ls
+            )
+
+        n = int(ref.shape[0])
+        B = gp.link_batch_size
+        if B <= 0 or n <= B:
+            return run(ref, mov, mask)
+        pad = (-n) % B
+        ref_p = jnp.concatenate([ref, jnp.zeros(pad, jnp.int32)])
+        mov_p = jnp.concatenate([mov, jnp.zeros(pad, jnp.int32)])
+        mask_p = jnp.concatenate([mask, jnp.zeros(pad, bool)])
+        chunks = [
+            run(ref_p[c: c + B], mov_p[c: c + B], mask_p[c: c + B])
+            for c in range(0, n + pad, B)
+        ]
+        return jax.tree.map(
+            lambda *xs: jnp.concatenate(xs)[:n], *chunks
+        )
 
     def _edges_from(self, link_set, link_keep, node_T):
         """Combine odometry edges + kept loop-closure links + links
@@ -482,16 +534,7 @@ class NDTFeatureGraphSLAM:
 
         stacked = node_mod.stack_nodes(self.nodes)
         ref, mov, mask = self.candidate_pairs()
-        link_set = links_mod.compute_links_batch(
-            p.features, p.ndt.resolution, stacked, ref, mov, mask,
-            self._split_key(),
-        )
-        link_set = links_mod.refine_links_d2d(
-            p.ndt, p.matcher, stacked, link_set
-        )
-        link_set = links_mod.rescore_links(
-            p.ndt.resolution, stacked, link_set
-        )
+        link_set = self._propose_links(stacked, ref, mov, mask)
 
         node_T = jnp.asarray(np.stack(self.node_T))
         prev_keep = None

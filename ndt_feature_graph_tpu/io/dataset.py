@@ -265,6 +265,22 @@ def random_loop_scenario(seed, n_steps=80, half_x=10.0, half_y=7.0):
     return world, traj
 
 
+def multi_loop_trajectory(
+    n_loops=3, steps_per_loop=120, radius=5.0, center=(0.0, -0.5),
+    ry_scale=0.65,
+):
+    """`n_loops` consecutive revolutions of the ellipse loop — long
+    trajectories that revisit the same places repeatedly (unbounded-
+    trajectory scaling scenarios, SURVEY.md §5: node counts grow with
+    path length while the world stays bounded)."""
+    n_steps = n_loops * steps_per_loop
+    a = np.linspace(0, 2 * np.pi * n_loops, n_steps)
+    x = center[0] + radius * np.cos(a)
+    y = center[1] + ry_scale * radius * np.sin(a)
+    theta = np.unwrap(np.arctan2(np.gradient(y), np.gradient(x)))
+    return jnp.asarray(np.stack([x, y, theta], -1), jnp.float32)
+
+
 def corridor_trajectory(n_steps=60, x0=-8.0, x1=8.0, y=-4.5):
     """Straight drive along the lower corridor."""
     x = np.linspace(x0, x1, n_steps)

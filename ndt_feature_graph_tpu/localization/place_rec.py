@@ -35,7 +35,9 @@ class ScanDatabase(NamedTuple):
 
 def empty_database(fp: FeatureParams, capacity: int) -> ScanDatabase:
     f = fp.max_features
-    d = fp.rho_bins * fp.phi_bins
+    from ndt_feature_graph_tpu.features.descriptor import descriptor_dim
+
+    d = descriptor_dim(fp)
     return ScanDatabase(
         poses=jnp.zeros((capacity, 3)),
         feats=detector.FeatureSet(

@@ -135,5 +135,9 @@ def test_graph_slam_with_drifty_odometry_loop_closure():
     err_before = tum.ate_rmse(node_T_before, gt_nodes)
     err_after = tum.ate_rmse(out, gt_nodes)
     print("node ATE before/after optimization:", err_before, err_after)
-    # Loop closures must reduce the drifted node-pose error materially.
-    assert err_after < err_before * 0.8, (err_before, err_after)
+    # Loop closures must reduce the drifted node-pose error materially
+    # AND land under an absolute bound: measured 0.865 -> 0.151 m, so
+    # 0.25 m (half the NDT cell size) leaves real margin while still
+    # failing if the closures stop pulling the loop together.
+    assert err_after < 0.25, (err_before, err_after)
+    assert err_after < err_before * 0.5, (err_before, err_after)
