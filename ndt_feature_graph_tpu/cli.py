@@ -156,6 +156,14 @@ def cmd_slam(a):
             slam,
             gt=np.asarray(seq.gt)[t_idx],
         )
+    if a.html:
+        from ndt_feature_graph_tpu.viz import html as viz_html
+
+        viz_html.export_html(
+            os.path.join(a.out, "viewer.html"),
+            slam,
+            gt=np.asarray(seq.gt)[t_idx],
+        )
     if a.optimize:
         slam.optimize_offline(verbose=True)
         tum.write_tum(
@@ -372,6 +380,8 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--optimize", action="store_true")
     p.add_argument("--plot", action="store_true")
+    p.add_argument("--html", action="store_true",
+                   help="write an interactive viewer (viewer.html)")
     _add_common(p)
     p.set_defaults(fn=cmd_slam)
 
