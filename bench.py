@@ -101,10 +101,13 @@ def bench_fuser(params, seq, reps=12):
 
 
 def bench_full_slam(params, seq, reps=6):
-    """Full online graph SLAM: feature pipeline + fusion + on-device
-    split detection, host handling only split events.  End-to-end wall
-    time of the chunked driver over the sequence (splits every
-    new_node_transl_dist=2 m -> several node freezes per rep)."""
+    """Full online graph SLAM: feature pipeline + fusion + node splits
+    + graph maintenance, ALL inside one executable over the sequence
+    (fusion/scan_driver.run_graph_sequence; splits every
+    new_node_transl_dist=2 m -> ~13 node freezes per rep, scattered
+    into the device node bank).  End-to-end wall time includes the
+    final bank unstack + trajectory/edge readbacks — the graph is fully
+    usable on return."""
     sparams = SLAMParams(
         fuser=params,
         graph=GraphParams(new_node_transl_dist=2.0, max_nodes=64),
@@ -116,11 +119,10 @@ def bench_full_slam(params, seq, reps=6):
             seq.gt[0], jnp.zeros(3), seq.ranges[0], seq.hit[0]
         )
         t0 = time.perf_counter()
-        traj = slam.run_sequence_chunked(
-            odom, seq.ranges, seq.hit, chunk=16
-        )
+        traj = slam.run_sequence_device(odom, seq.ranges, seq.hit)
         # Consumption: the trajectory (host numpy) depends on every
-        # chunk's outputs; splits force freeze_node materialization.
+        # scan's outputs; the unstacked node bank is materialized into
+        # the host-side graph before the clock stops.
         assert np.isfinite(traj).all()
         dt = time.perf_counter() - t0
         return dt, len(slam.nodes)

@@ -169,6 +169,15 @@ class FuserParams:
     feature_cov_theta: float = 1e-4   # fuser_hmt.cpp:249
     feature_map_update_incr: int = 4  # append features every 4th update
                                       # (ndt_feature_map.h:64)
+    # Rolling-map mode (NDTMapHMT equivalent): keep the submap window
+    # following the vehicle instead of fixed in the world.  When the
+    # vehicle drifts more than `roll_margin` metres from the window
+    # centre, the grid is recentred on it by whole cells on device
+    # (ops/ndt_map.recenter) — unbounded-trajectory tracking with one
+    # fixed-shape grid (perception_oru NDTMapHMT tile window; disabled
+    # in the reference's shipped configs, gustav_laser_tf.launch:47).
+    rolling_map: bool = False
+    roll_margin: float = 10.0
 
     replace = _replace
 

@@ -40,6 +40,21 @@ def compose(a, b):
     return jnp.stack([x, y, t], -1)
 
 
+def compose_np(a, b):
+    """Host-side numpy compose (identical math to `compose`).  Used by
+    host orchestration loops: through the TPU tunnel every eager device
+    op costs ~10-20 ms, so per-scan host bookkeeping must never touch
+    the device (CLAUDE.md measurement notes)."""
+    import numpy as np
+
+    ca, sa = np.cos(a[..., 2]), np.sin(a[..., 2])
+    x = a[..., 0] + b[..., 0] * ca - b[..., 1] * sa
+    y = a[..., 1] + b[..., 0] * sa + b[..., 1] * ca
+    t = a[..., 2] + b[..., 2]
+    t = np.arctan2(np.sin(t), np.cos(t))
+    return np.stack([x, y, t], -1).astype(np.float32)
+
+
 def inverse(a):
     ca, sa = jnp.cos(a[..., 2]), jnp.sin(a[..., 2])
     x = -(a[..., 0] * ca + a[..., 1] * sa)

@@ -196,16 +196,30 @@ def update(
         use_fallback = jnp.bool_(False)
     Tnow = jnp.where(use_fallback, T_pred, T_est)
 
+    # Rolling-map recentre (NDTMapHMT window follow): if the vehicle
+    # left the margin, slide the window onto it by whole cells.  The
+    # shift is zeroed (exact no-op) while inside the margin, so this
+    # stays a single traced program.
+    grid = state.grid
+    if params.rolling_map:
+        center = grid.origin + jnp.asarray(
+            [params.ndt.size_x / 2.0, params.ndt.size_y / 2.0],
+            grid.origin.dtype,
+        )
+        off = Tnow[:2] - center
+        target = jnp.where(
+            jnp.linalg.norm(off) > params.roll_margin, Tnow[:2], center
+        )
+        grid = ndt_map.recenter(grid, params.ndt, target)
+
     # Map update (fuser_hmt.cpp:482-487).
     if update_map:
         world_T = se2.compose(Tnow, state.sensor_pose)
         world_pts = se2.transform_points(world_T, pts)
-        grid = ndt_map.add_points(state.grid, params.ndt, world_pts, mask)
+        grid = ndt_map.add_points(grid, params.ndt, world_pts, mask)
         grid = ndt_map.update_occupancy(
             grid, params.ndt, world_T[:2], world_pts, mask
         )
-    else:
-        grid = state.grid
 
     moved = se2.sub(state.Tlast_fuse, Tnow)
     fused = (jnp.linalg.norm(moved[:2]) > 0.05) | (

@@ -12,6 +12,7 @@ vmapped link proposal.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -100,13 +101,19 @@ def insert_features(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
 def freeze_node(
     params: FuserParams,
     node_T,
     fstate: fuser_mod.FuserState,
     fmap: FeatureMapBuffer,
 ) -> NodeData:
-    """Archive the active fuser into an immutable NodeData."""
+    """Archive the active fuser into an immutable NodeData.
+
+    Jitted: a node split is a host-visible event, and running the
+    finalize/compaction math eagerly would cost dozens of ~10-20 ms
+    tunnel round trips per split (measured: ~0.7 s/split before this
+    was one executable)."""
     target = d2d.make_dense_target(fstate.grid, params.ndt)
     cells = ndt_map.to_cell_list(fstate.grid, params.ndt)
     return NodeData(

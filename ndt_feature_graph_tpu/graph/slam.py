@@ -15,6 +15,7 @@ flow.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional
 
 import jax
@@ -31,6 +32,32 @@ from ndt_feature_graph_tpu.graph import optimize as opt_mod
 from ndt_feature_graph_tpu.graph import sparse_direct as sparse_direct_mod
 
 FEATURE_MAP_CAPACITY = 128
+
+
+@functools.partial(jax.jit, static_argnames=("p", "link_source"))
+def _split_math(p: FuserParams, link_source: str, current_T, base, fmap):
+    """Device math of a node split in ONE executable: freeze the active
+    fuser into NodeData and compute the incremental edge (new node
+    origin, relative pose, motion-model covariance), packed into one
+    (15,) vector so the host pays a single readback."""
+    frozen = node_mod.freeze_node.__wrapped__(p, current_T, base, fmap)
+    new_T = se2.compose(current_T, base.Tnow)
+    rel = base.Todom if link_source == "odom" else base.Tnow
+    cov = motion_model.measurement_cov(p.motion, rel) + jnp.diag(
+        jnp.full(3, 1e-4)
+    )
+    packed = jnp.concatenate([new_T, rel, cov.reshape(-1)])
+    return frozen, packed
+
+
+@jax.jit
+def _accumulate_math(fmap, prev_feats, prev_desc, Tnow, sensor_pose):
+    """Feature-map insert incl. the node-frame pose compose, one
+    executable (was one eager compose + one dispatch)."""
+    node_pose = se2.compose(Tnow, sensor_pose)
+    return node_mod.insert_features.__wrapped__(
+        fmap, prev_feats, prev_desc, node_pose
+    )
 
 
 class NDTFeatureGraphSLAM:
@@ -78,22 +105,25 @@ class NDTFeatureGraphSLAM:
         """Insert the active scan's features into the node feature map
         (in node frame)."""
         st = self.state
-        node_pose = se2.compose(st.base.Tnow, st.base.sensor_pose)
-        self.fmap = node_mod.insert_features(
-            self.fmap, st.prev_feats, st.prev_desc, node_pose
+        self.fmap = _accumulate_math(
+            self.fmap, st.prev_feats, st.prev_desc, st.base.Tnow,
+            st.base.sensor_pose,
         )
 
     def global_pose(self):
-        return np.asarray(
-            se2.compose(jnp.asarray(self.current_T), self.state.base.Tnow)
+        return se2.compose_np(
+            np.asarray(self.current_T, np.float32),
+            np.asarray(self.state.base.Tnow, np.float32),
         )
 
     def update(self, Tmotion, ranges, hit, t=0.0):
         """One scan (NDTFeatureGraph::update, graph.cpp:60-144)."""
         p = self.params.fuser
         gp = self.params.graph
+        self.distance_moved += float(
+            np.linalg.norm(np.asarray(Tmotion, np.float32)[:2])
+        )
         Tmotion = jnp.asarray(Tmotion, jnp.float32)
-        self.distance_moved += float(jnp.linalg.norm(Tmotion[:2]))
 
         if self.distance_moved > gp.new_node_transl_dist and (
             len(self.nodes) + 1 < gp.max_nodes
@@ -155,27 +185,28 @@ class NDTFeatureGraphSLAM:
             split_dist = jnp.float32(
                 gp.new_node_transl_dist if can_split else jnp.inf
             )
-            (st, fm, dist, cnt, traj, _scores, processed, split,
-             split_idx) = scan_driver.run_graph_chunk(
+            st, fm, traj, _scores, meta = scan_driver.run_graph_chunk(
                 p, self.state, self.fmap,
                 jnp.float32(self.distance_moved),
                 jnp.int32(self.n_updates_in_node),
                 odom_c, ranges_c, hit_c, active, split_dist,
                 fm_incr=p.feature_map_update_incr,
             )
-            n_proc = int(np.asarray(processed).sum())
-            split = bool(split)
-            split_idx = int(split_idx)
+            # Two readbacks per chunk (traj + packed meta); all the
+            # per-scan global-pose bookkeeping is pure numpy — no
+            # per-scan device ops (tunnel eager-op cost, CLAUDE.md).
+            traj_np = np.asarray(traj)
+            meta_np = np.asarray(meta)
+            n_proc = int(meta_np[2])
+            split_idx = int(meta_np[3])
+            split = split_idx >= 0
             self.state = st
             self.fmap = fm
-            self.distance_moved = float(dist)
-            self.n_updates_in_node = int(cnt)
-            traj_np = np.asarray(traj)
+            self.distance_moved = float(meta_np[0])
+            self.n_updates_in_node = int(meta_np[1])
+            cur = np.asarray(self.current_T, np.float32)
             for i in range(n_proc):
-                self.trajectory.append(np.asarray(
-                    se2.compose(jnp.asarray(self.current_T),
-                                jnp.asarray(traj_np[i]))
-                ))
+                self.trajectory.append(se2.compose_np(cur, traj_np[i]))
                 self.times.append(times[t + i])
             if split:
                 # The chunk fused the split scan into the old node;
@@ -188,6 +219,73 @@ class NDTFeatureGraphSLAM:
                 t += n_proc
         return np.stack(self.trajectory)
 
+    def run_sequence_device(self, odom, ranges, hit, times=None):
+        """Process a whole gated scan sequence with the FULLY
+        device-resident graph driver (fusion/scan_driver.
+        run_graph_sequence): one dispatch for the entire sequence,
+        node splits handled on device into a pre-allocated bank —
+        semantically identical to update() per scan (same op order,
+        same PRNG stream).  Requires online_loop_closure off (use
+        run_sequence_chunked for that mode) and an empty graph.
+
+        odom (T, 3), ranges (T, B), hit (T, B) — scan 0 must already
+        be consumed by initialize().  Returns the global trajectory
+        for scans 1..T-1 (plus the initial pose already logged).
+        """
+        from ndt_feature_graph_tpu.fusion import scan_driver
+
+        if self.params.graph.online_loop_closure:
+            raise ValueError(
+                "run_sequence_device does not handle online loop "
+                "closure; use run_sequence_chunked"
+            )
+        if self.nodes:
+            raise ValueError("run_sequence_device requires a fresh graph")
+        p = self.params.fuser
+        gp = self.params.graph
+        t_total = ranges.shape[0]
+        times = times if times is not None else [0.0] * t_total
+
+        (st, fm, bank, nTb, erel, ecov, traj, cur_T, key, meta) = (
+            scan_driver.run_graph_sequence(
+                p, self.state, self.fmap,
+                jnp.asarray(self.current_T, jnp.float32), self._key,
+                jnp.float32(self.distance_moved),
+                jnp.int32(self.n_updates_in_node),
+                jnp.asarray(odom[1:], jnp.float32), ranges[1:], hit[1:],
+                jnp.float32(gp.new_node_transl_dist),
+                max_nodes=gp.max_nodes,
+                fm_incr=p.feature_map_update_incr,
+                link_source=gp.incremental_link_source,
+            )
+        )
+        meta_np = np.asarray(meta)
+        n_frozen = int(meta_np[2])
+        self.state = st
+        self.fmap = fm
+        self._key = key
+        self.distance_moved = float(meta_np[0])
+        self.n_updates_in_node = int(meta_np[1])
+        self.current_T = np.asarray(cur_T)
+
+        base = len(self.nodes)
+        if n_frozen:
+            nodes = scan_driver.unstack_bank(bank, n_frozen)
+            nT_np = np.asarray(nTb[:n_frozen])
+            erel_np = np.asarray(erel[:n_frozen])
+            ecov_np = np.asarray(ecov[:n_frozen])
+            for i in range(n_frozen):
+                self.nodes.append(nodes[i])
+                self.node_T.append(nT_np[i].copy())
+                self.odom_edges.append(
+                    (base + i, base + i + 1, erel_np[i], ecov_np[i])
+                )
+        traj_np = np.asarray(traj)
+        for i in range(t_total - 1):
+            self.trajectory.append(traj_np[i])
+            self.times.append(times[1 + i])
+        return np.stack(self.trajectory)
+
     def _finish_split(self, ranges, hit):
         """Host bookkeeping of a node split AFTER the split scan has
         been fused into the active node (shared by _split_node and the
@@ -195,23 +293,24 @@ class NDTFeatureGraphSLAM:
         p = self.params.fuser
         self.distance_moved = 0.0
         node_idx = len(self.nodes)
-        frozen = node_mod.freeze_node(
-            p, jnp.asarray(self.current_T), self.state.base, self.fmap
+        # One jitted executable for the whole split's device math
+        # (freeze + edge pose/cov), one packed transfer for the small
+        # host-side numbers: through the tunnel every eager op and
+        # every buffer readback costs ~10-20 ms, which dominated the
+        # split event before (measured ~0.7 s/split).
+        frozen, packed = _split_math(
+            p,
+            self.params.graph.incremental_link_source,
+            jnp.asarray(self.current_T),
+            self.state.base,
+            self.fmap,
         )
         self.nodes.append(frozen)
         self.node_T.append(self.current_T.copy())
-
-        Tnow_local = self.state.base.Tnow
-        new_T = np.asarray(
-            se2.compose(jnp.asarray(self.current_T), Tnow_local)
-        )
-        if self.params.graph.incremental_link_source == "odom":
-            rel = np.asarray(self.state.base.Todom)
-        else:
-            rel = np.asarray(Tnow_local)
-        cov = np.asarray(
-            motion_model.measurement_cov(p.motion, jnp.asarray(rel))
-        ) + np.diag([1e-4, 1e-4, 1e-4])
+        packed = np.asarray(packed)
+        new_T = packed[:3]
+        rel = packed[3:6]
+        cov = packed[6:].reshape(3, 3)
         self.odom_edges.append((node_idx, node_idx + 1, rel, cov))
 
         self.current_T = new_T

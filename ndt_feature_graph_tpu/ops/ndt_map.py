@@ -230,6 +230,53 @@ def to_cell_list(grid: NDTGrid, params: NDTMapParams) -> CellList:
     return CellList(means=means, covs=covs, mask=got)
 
 
+def recenter(grid: NDTGrid, params: NDTMapParams, new_center):
+    """Shift the grid window by whole cells so it is centred (to cell
+    quantization) on `new_center` (2,) world coords — the rolling-map
+    core of NDTMapHMT (perception_oru NDTMapHMT: a tile window that
+    follows the robot, ndt_fuser/ndt_fuser_hmt.h `setMotion` grid
+    moves).  Cells that stay inside the window keep their sufficient
+    statistics and occupancy exactly; cells that fall off the trailing
+    edge are dropped; newly exposed cells start empty.
+
+    Fully jit-compatible: the shift is a traced integer, applied with
+    jnp.roll + iota masks (fixed shapes, no host round trip).  A zero
+    shift is an exact no-op.
+    """
+    res = params.resolution
+    cur_center = grid.origin + jnp.asarray(
+        [params.size_x / 2.0, params.size_y / 2.0], grid.origin.dtype
+    )
+    shift = jnp.round(
+        (jnp.asarray(new_center, grid.origin.dtype) - cur_center) / res
+    ).astype(jnp.int32)  # (2,) = (sx, sy) in cells
+    sx, sy = shift[0], shift[1]
+    new_origin = grid.origin + shift.astype(grid.origin.dtype) * res
+
+    h, w = params.grid_h, params.grid_w
+    # A world point with old indices (iy, ix) lands at (iy - sy, ix - sx)
+    # in the shifted window: roll content by (-sy, -sx) and blank the
+    # wrapped-in band (old index out of [0, H/W)).
+    iy = jnp.arange(h, dtype=jnp.int32)[:, None]
+    ix = jnp.arange(w, dtype=jnp.int32)[None, :]
+    keep = (
+        (iy + sy >= 0) & (iy + sy < h) & (ix + sx >= 0) & (ix + sx < w)
+    )
+
+    def mv(a):
+        rolled = jnp.roll(a, shift=(-sy, -sx), axis=(0, 1))
+        k = keep.reshape(keep.shape + (1,) * (a.ndim - 2))
+        return jnp.where(k, rolled, jnp.zeros((), a.dtype))
+
+    return NDTGrid(
+        origin=new_origin,
+        count=mv(grid.count),
+        psum=mv(grid.psum),
+        outer=mv(grid.outer),
+        occ=mv(grid.occ),
+    )
+
+
 def occupancy_rescaled(grid: NDTGrid):
     """Occupancy in [0, 1] (NDTCell::getOccupancyRescaled): 0.5 ==
     no information."""

@@ -37,19 +37,37 @@ def run_slam(
     slam.initialize(
         seq.gt[0], jnp.zeros(3), seq.ranges[0], seq.hit[0], t=0.0
     )
-    acc = jnp.zeros(3)
-    n_updates = 0
-    t0 = time.perf_counter()
+    # Motion gating is pure numpy (no per-scan device ops): accumulate
+    # odometry, keep scans that moved > mi metres or > mr radians.
+    odom_np = np.asarray(seq.odom, np.float32)
+    acc = np.zeros(3, np.float32)
+    keep_idx, keep_acc = [], []
     for t in range(1, seq.gt.shape[0]):
-        acc = se2.compose(acc, seq.odom[t])
-        if (
-            float(jnp.linalg.norm(acc[:2])) < mi
-            and abs(float(acc[2])) < mr
-        ):
+        acc = se2.compose_np(acc, odom_np[t])
+        if float(np.linalg.norm(acc[:2])) < mi and abs(float(acc[2])) < mr:
             continue
-        slam.update(acc, seq.ranges[t], seq.hit[t], t=float(t))
-        acc = jnp.zeros(3)
-        n_updates += 1
+        keep_idx.append(t)
+        keep_acc.append(acc)
+        acc = np.zeros(3, np.float32)
+    n_updates = len(keep_idx)
+
+    t0 = time.perf_counter()
+    if n_updates:
+        idx = np.asarray([0] + keep_idx)
+        odom_g = np.concatenate(
+            [np.zeros((1, 3), np.float32), np.stack(keep_acc)]
+        )
+        ranges_g = np.asarray(seq.ranges)[idx]
+        hit_g = np.asarray(seq.hit)[idx]
+        times = [0.0] + [float(t) for t in keep_idx]
+        if params.graph.online_loop_closure:
+            slam.run_sequence_chunked(
+                odom_g, ranges_g, hit_g, times=times
+            )
+        else:
+            # Gated sequence through the fully device-resident driver
+            # (one dispatch, splits on device).
+            slam.run_sequence_device(odom_g, ranges_g, hit_g, times=times)
     slam.finalize_current_node()
     wall = time.perf_counter() - t0
     est = np.stack(slam.trajectory)

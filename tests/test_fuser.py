@@ -120,3 +120,46 @@ def test_update_is_jitted_once():
         state, _ = fuser.update(state, PARAMS, seq.odom[t], pts, mask)
     count = fuser.update._cache_size()
     assert count == 1, count
+
+
+def test_rolling_map_tracks_beyond_window():
+    """Rolling-map mode (NDTMapHMT window follow): a grid window much
+    smaller than the traverse keeps tracking because it recentres onto
+    the vehicle on device; the same window WITHOUT rolling loses the
+    map once the vehicle leaves it."""
+    small = FuserParams(
+        ndt=NDTMapParams(
+            resolution=0.5,
+            size_x=16.0,
+            size_y=16.0,
+            sensor_range=8.0,
+            max_points_per_scan=512,
+            max_cells=512,
+        ),
+        rolling_map=True,
+        roll_margin=3.0,
+    )
+    traj = dataset.corridor_trajectory(50, x0=-12.0, x1=12.0, y=-4.5)
+    seq = dataset.simulate_sequence(
+        jax.random.PRNGKey(2),
+        traj,
+        num_beams=360,
+        max_range=8.0,
+        segments=dataset.warehouse_world(),
+    )
+    est, state, infos = run_sequence(seq, params=small)
+    gt = np.asarray(seq.gt)
+    err = ate(est, gt)
+    assert err < 0.25, err
+    # The window actually moved (origin follows the vehicle).
+    origin = np.asarray(state.grid.origin)
+    assert origin[0] > 0.0, origin
+    # Map stayed populated after recentres.
+    assert float(jnp.sum(state.grid.count)) > 100.0
+
+    # Control: same tiny window, fixed in the world -> the vehicle
+    # exits it and tracking (fallback odometry) degrades.
+    fixed = small.replace(rolling_map=False)
+    est2, state2, _ = run_sequence(seq, params=fixed)
+    err2 = ate(est2, gt)
+    assert err2 > err, (err, err2)

@@ -77,3 +77,40 @@ def test_chunked_partial_last_chunk():
     traj = np.stack(chk.trajectory)
     err = np.linalg.norm(traj[:, :2] - np.asarray(seq.gt)[:, :2], axis=1)
     assert err.max() < 1.0, err.max()
+
+
+def test_device_sequence_matches_chunked():
+    """The FULLY device-resident driver (run_graph_sequence: splits on
+    device into the node bank) must reproduce the chunked path exactly
+    — trajectory, node poses, edges, and frozen node payloads."""
+    params = _params()
+    seq = _sequence()
+
+    chk = NDTFeatureGraphSLAM(params, seed=0)
+    chk.initialize(seq.gt[0], jnp.zeros(3), seq.ranges[0], seq.hit[0])
+    chk.run_sequence_chunked(seq.odom, seq.ranges, seq.hit, chunk=8)
+
+    dev = NDTFeatureGraphSLAM(params, seed=0)
+    dev.initialize(seq.gt[0], jnp.zeros(3), seq.ranges[0], seq.hit[0])
+    dev.run_sequence_device(seq.odom, seq.ranges, seq.hit)
+
+    assert len(dev.nodes) == len(chk.nodes)
+    assert len(dev.trajectory) == len(chk.trajectory)
+    np.testing.assert_allclose(
+        np.stack(dev.trajectory), np.stack(chk.trajectory), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.stack(dev.node_T), np.stack(chk.node_T), atol=1e-3
+    )
+    assert len(dev.odom_edges) == len(chk.odom_edges)
+    for (ed, ec) in zip(dev.odom_edges, chk.odom_edges):
+        assert ed[0] == ec[0] and ed[1] == ec[1]
+        np.testing.assert_allclose(ed[2], ec[2], atol=1e-3)
+        np.testing.assert_allclose(ed[3], ec[3], atol=1e-3)
+    # Frozen node payloads (NDT fields, occupancy, feature maps).
+    for nd, nc in zip(dev.nodes, chk.nodes):
+        for a, b in zip(jax.tree.leaves(nd), jax.tree.leaves(nc)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=1e-3,
+            )

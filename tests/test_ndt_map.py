@@ -1,5 +1,6 @@
 """NDT grid builder tests: cell statistics vs numpy (SURVEY.md §7.2)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -146,3 +147,54 @@ def test_cell_list_transform():
     np.testing.assert_allclose(
         np.asarray(moved.covs), [[[0.01, 0.0], [0.0, 0.04]]], atol=1e-6
     )
+
+
+def test_recenter_preserves_retained_cells():
+    """Rolling-map window shift (NDTMapHMT equivalent): statistics of
+    cells that stay inside the window are exact; everything outside is
+    dropped; zero shift is a no-op."""
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-4.5, 4.5, (400, 2)).astype(np.float32)
+    mask = jnp.ones(len(pts), bool)
+
+    grid = ndt_map.empty_grid(PARAMS, jnp.zeros(2))
+    grid = ndt_map.add_points(grid, PARAMS, jnp.asarray(pts), mask)
+    grid = ndt_map.update_occupancy(
+        grid, PARAMS, jnp.zeros(2), jnp.asarray(pts), mask
+    )
+
+    # No-op shift: identical pytree.
+    same = ndt_map.recenter(grid, PARAMS, jnp.zeros(2))
+    for a, b in zip(jax.tree.leaves(grid), jax.tree.leaves(same)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Shift by (+2.0, -1.5) m = (4, -3) cells: rebuild reference grid
+    # at the new origin from only the points that remain inside.
+    new_center = jnp.asarray([2.0, -1.5])
+    moved = ndt_map.recenter(grid, PARAMS, new_center)
+    np.testing.assert_allclose(
+        np.asarray(moved.origin), np.asarray(grid.origin) + [2.0, -1.5],
+        atol=1e-6,
+    )
+    ref = ndt_map.empty_grid(PARAMS, new_center)
+    ref = ndt_map.add_points(ref, PARAMS, jnp.asarray(pts), mask)
+    np.testing.assert_allclose(
+        np.asarray(moved.count), np.asarray(ref.count), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(moved.psum), np.asarray(ref.psum), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(moved.outer), np.asarray(ref.outer), atol=1e-3
+    )
+    # Finalized gaussians agree wherever both are valid.
+    m1, c1, v1 = map(np.asarray, ndt_map.finalize(moved, PARAMS))
+    m2, c2, v2 = map(np.asarray, ndt_map.finalize(ref, PARAMS))
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_allclose(m1[v1], m2[v2], atol=1e-4)
+    np.testing.assert_allclose(c1[v1], c2[v2], atol=1e-3)
+
+    # Shift far beyond the window empties the grid.
+    gone = ndt_map.recenter(grid, PARAMS, jnp.asarray([100.0, 100.0]))
+    assert float(jnp.sum(gone.count)) == 0.0
+    assert float(jnp.sum(jnp.abs(gone.occ))) == 0.0
