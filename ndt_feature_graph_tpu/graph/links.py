@@ -161,9 +161,12 @@ def refine_links_d2d(
         )
         T = se2.compose(d, T0)
         _, _, H = fgh_fn(d)
-        evals, evecs = jnp.linalg.eigh(H)
-        evals = jnp.maximum(evals, 1e-4)
-        cov = (evecs / evals[None, :]) @ evecs.T
+        # One covariance convention repo-wide (d2d.cov_from_hessian:
+        # cov_scale * floored-inverse-Hessian, symmetrized) — this used
+        # to inline its own floor/scale, leaving the solver's relative
+        # link-vs-odometry weighting to depend on which code path
+        # produced the link (VERDICT r2 weak #5).
+        cov = d2d.cov_from_hessian(H, m)
         return T, cov, conv
 
     T, cov, conv = jax.vmap(one)(

@@ -430,10 +430,10 @@ class NDTFeatureGraphSLAM:
         e_info = np.zeros((cap_e, 3, 3), np.float32)
         e_mask = np.zeros(cap_e, bool)
         edges = [
-            (i, j, rel, np.linalg.inv(cov))
+            (i, j, rel, opt_mod.spd_info_np(cov))
             for (i, j, rel, cov) in self.odom_edges
         ] + [
-            (i, j, rel, np.linalg.inv(cov + 1e-6 * np.eye(3)))
+            (i, j, rel, opt_mod.spd_info_np(cov, eps=gp.link_info_eps))
             for (i, j, rel, cov, _s) in self.loop_links
         ]
         ne = min(len(edges), cap_e)
@@ -456,6 +456,8 @@ class NDTFeatureGraphSLAM:
             prior_information=gp.prior_information,
             iterations=gp.online_lc_gn_iterations,
             damping=gp.gn_damping,
+            robust_kernel=gp.online_lc_robust_kernel,
+            robust_delta=gp.robust_delta,
         )
         out = np.asarray(out)
         self.node_T = [out[i].copy() for i in range(n)]
@@ -562,29 +564,40 @@ class NDTFeatureGraphSLAM:
             e_i.append(i)
             e_j.append(j)
             e_meas.append(rel)
-            e_info.append(np.linalg.inv(cov))
+            e_info.append(opt_mod.spd_info_np(cov))
         kept_pairs = set()
         if link_set is not None:
             keep = np.asarray(link_keep)
+            link_T = np.asarray(link_set.T)
+            link_cov = np.asarray(link_set.cov)
+            link_ref = np.asarray(link_set.ref)
+            link_mov = np.asarray(link_set.mov)
             for k in range(keep.shape[0]):
                 if not keep[k]:
                     continue
                 # Link T maps mov-node frame -> ref-node frame: that IS
                 # the pose of mov in ref's frame.
-                ri, mi = int(link_set.ref[k]), int(link_set.mov[k])
+                ri, mi = int(link_ref[k]), int(link_mov[k])
                 kept_pairs.add((ri, mi))
                 e_i.append(ri)
                 e_j.append(mi)
-                e_meas.append(np.asarray(link_set.T[k]))
-                cov = np.asarray(link_set.cov[k])
-                e_info.append(np.linalg.inv(cov + 1e-6 * np.eye(3)))
+                e_meas.append(link_T[k])
+                e_info.append(
+                    opt_mod.spd_info_np(
+                        link_cov[k], eps=self.params.graph.link_info_eps
+                    )
+                )
         for (i, j, rel, cov, _s) in self.loop_links:
             if j >= n or (i, j) in kept_pairs or (j, i) in kept_pairs:
                 continue
             e_i.append(i)
             e_j.append(j)
             e_meas.append(np.asarray(rel))
-            e_info.append(np.linalg.inv(np.asarray(cov) + 1e-6 * np.eye(3)))
+            e_info.append(
+                opt_mod.spd_info_np(
+                    np.asarray(cov), eps=self.params.graph.link_info_eps
+                )
+            )
         e = len(e_i)
         return opt_mod.EdgeList(
             i=jnp.asarray(np.asarray(e_i, np.int32)),
@@ -594,11 +607,12 @@ class NDTFeatureGraphSLAM:
             mask=jnp.ones(e, bool),
         )
 
-    def _solve(self, gp, node_T, edges):
+    def _solve(self, gp, node_T, edges, robust_delta=None):
         """Solver dispatch: dense Cholesky for small graphs, exact
         segment-Schur (O(E) memory, graph/sparse_direct.py) beyond
         gp.solver_dense_max_nodes or when gp.solver == "direct"."""
         n = int(node_T.shape[0])
+        delta = gp.robust_delta if robust_delta is None else robust_delta
         use_direct = gp.solver == "direct" or (
             gp.solver == "auto" and n > gp.solver_dense_max_nodes
         )
@@ -613,6 +627,8 @@ class NDTFeatureGraphSLAM:
                 prior_information=gp.prior_information,
                 iterations=gp.gn_iterations,
                 damping=gp.gn_damping,
+                robust_kernel=gp.robust_kernel,
+                robust_delta=delta,
             )
         return opt_mod.optimize(
             node_T,
@@ -620,6 +636,8 @@ class NDTFeatureGraphSLAM:
             prior_information=gp.prior_information,
             iterations=gp.gn_iterations,
             damping=gp.gn_damping,
+            robust_kernel=gp.robust_kernel,
+            robust_delta=delta,
         )
 
     def optimize_offline(self, verbose=False):
@@ -638,7 +656,25 @@ class NDTFeatureGraphSLAM:
         node_T = jnp.asarray(np.stack(self.node_T))
         prev_keep = None
         for round_idx in range(gp.fixpoint_max_rounds):
-            keep = links_mod.valid_links(gp, node_T, link_set)
+            # Graduated schedule (config.GraphParams): round 0
+            # validates with drift-tolerant gates and a tight DCS Phi
+            # (protect the solve from wrong-basin links); later rounds
+            # re-validate against the solved estimates with tight
+            # gates and a relaxed Phi so correct links regain full
+            # quadratic weight.
+            gp_gate = gp
+            delta = None
+            if round_idx >= 1:
+                if gp.valid_max_dist_refine > 0:
+                    gp_gate = gp.replace(
+                        valid_max_dist=gp.valid_max_dist_refine,
+                        valid_max_angular_dist=(
+                            gp.valid_max_angular_refine
+                        ),
+                    )
+                if gp.robust_delta_refine > 0:
+                    delta = gp.robust_delta_refine
+            keep = links_mod.valid_links(gp_gate, node_T, link_set)
             keep_np = np.asarray(keep)
             if verbose:
                 print(
@@ -649,7 +685,8 @@ class NDTFeatureGraphSLAM:
                 break
             prev_keep = keep_np
             edges = self._edges_from(link_set, keep_np, node_T)
-            node_T, chi2 = self._solve(gp, node_T, edges)
+            node_T, chi2 = self._solve(gp, node_T, edges,
+                                       robust_delta=delta)
         self.node_T = [np.asarray(t) for t in np.asarray(node_T)]
         return node_T
 

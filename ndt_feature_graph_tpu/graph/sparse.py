@@ -88,12 +88,14 @@ def edge_residual_hl(p, p_lo, edges: opt.EdgeList):
                             dth[:, None]], -1)
 
 
-def linearize_edges_raw(p, edges: opt.EdgeList, n, p_lo=None):
+def linearize_edges_raw(p, edges: opt.EdgeList, n, p_lo=None,
+                        info_scale=None):
     """Per-edge factor linearization, no prior/damping: returns
     (Hii, Hjj, Hij, D_edges, b_edges) where D_edges/b_edges are the
     node-scattered diagonal/gradient contributions of *these* edges.
     Additive over edge shards — the unit of work the distributed path
-    psums (parallel/sparse_direct_sharded.py)."""
+    psums (parallel/sparse_direct_sharded.py).  info_scale: optional
+    (E,) IRLS robust weights (opt.robust_edge_scale)."""
     Ti = p[edges.i]
     Tj = p[edges.j]
     if p_lo is None:
@@ -104,6 +106,8 @@ def linearize_edges_raw(p, edges: opt.EdgeList, n, p_lo=None):
 
     w = edges.mask[:, None, None].astype(p.dtype)
     info = edges.info * w
+    if info_scale is not None:
+        info = info * info_scale[:, None, None]
     Hii = jnp.einsum("eki,ekl,elj->eij", Ji, info, Ji)
     Hjj = jnp.einsum("eki,ekl,elj->eij", Jj, info, Jj)
     Hij = jnp.einsum("eki,ekl,elj->eij", Ji, info, Jj)
@@ -145,17 +149,30 @@ def finalize_blocks(p, D, b, Hii, Hjj, Hij, prior_information, damping,
 
 
 def linearize_edges(p, edges: opt.EdgeList, prior_information, damping,
-                    prior_pose, p_lo=None):
+                    prior_pose, p_lo=None, robust_kernel="none",
+                    robust_delta=1.0):
     """Batched factor linearization kept in edge-block (sparse) form.
 
     Same math as graph.optimize.assemble_normal_equations (reference
     parity: batch linearization of Pose2d_Pose2d_Factor,
     ndt_offline_mapper.h:74-93) but never scatters into a dense H.
     Pass p_lo ((N, 2) compensated position corrections) on large maps —
-    see edge_residual_hl.
+    see edge_residual_hl.  robust_kernel applies IRLS loop-closure
+    reweighting (opt.robust_edge_scale).
     """
     n = p.shape[0]
-    Hii, Hjj, Hij, D, b = linearize_edges_raw(p, edges, n, p_lo=p_lo)
+    if robust_kernel == "none":
+        scale = None
+    else:
+        if p_lo is None:
+            r = opt.edge_residual(p[edges.i], p[edges.j], edges.meas)
+        else:
+            r = edge_residual_hl(p, p_lo, edges)
+        scale, _ = opt.robust_edge_scale(
+            r, edges, robust_kernel, robust_delta
+        )
+    Hii, Hjj, Hij, D, b = linearize_edges_raw(p, edges, n, p_lo=p_lo,
+                                              info_scale=scale)
     return finalize_blocks(p, D, b, Hii, Hjj, Hij, prior_information,
                            damping, prior_pose)
 
@@ -320,7 +337,8 @@ def pcg(blocks: EdgeBlocks, edges: opt.EdgeList, rhs, cg_iterations,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iterations", "cg_iterations", "preconditioner"),
+    static_argnames=("iterations", "cg_iterations", "preconditioner",
+                     "robust_kernel"),
 )
 def optimize_pcg(
     poses,
@@ -330,6 +348,8 @@ def optimize_pcg(
     cg_iterations: int = 100,
     damping: float = 1e-6,
     preconditioner: str = "chain",
+    robust_kernel: str = "none",
+    robust_delta: float = 1.0,
 ):
     """Gauss-Newton with matrix-free PCG inner solve.
 
@@ -347,15 +367,18 @@ def optimize_pcg(
 
     def chi2(p):
         r = opt.edge_residual(p[edges.i], p[edges.j], edges.meas)
-        per = jnp.einsum("ei,eij,ej->e", r, edges.info, r)
-        c = jnp.sum(jnp.where(edges.mask, per, 0.0))
+        _, rho = opt.robust_edge_scale(
+            r, edges, robust_kernel, robust_delta
+        )
+        c = jnp.sum(jnp.where(edges.mask, rho, 0.0))
         rp = p[0] - prior_pose
         rp = rp.at[2].set(se2.normalize_angle(rp[2]))
         return c + prior_information * jnp.dot(rp, rp)
 
     def gn_step(p, _):
         blocks = linearize_edges(
-            p, edges, prior_information, damping, prior_pose
+            p, edges, prior_information, damping, prior_pose,
+            robust_kernel=robust_kernel, robust_delta=robust_delta,
         )
         if preconditioner == "chain":
             prec = chain_preconditioner(blocks, edges, n)

@@ -329,7 +329,9 @@ def solve_normal_equations(blocks: sparse.EdgeBlocks,
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
+@functools.partial(
+    jax.jit, static_argnames=("iterations", "robust_kernel")
+)
 def optimize_direct(
     poses,
     edges: opt.EdgeList,
@@ -337,6 +339,8 @@ def optimize_direct(
     prior_information: float = 100.0,
     iterations: int = 20,
     damping: float = 1e-6,
+    robust_kernel: str = "none",
+    robust_delta: float = 1.0,
 ):
     """Gauss-Newton with the exact segment-Schur solve.
 
@@ -356,8 +360,10 @@ def optimize_direct(
 
     def chi2(p, p_lo):
         r = sparse.edge_residual_hl(p, p_lo, edges)
-        per = jnp.einsum("ei,eij,ej->e", r, edges.info, r)
-        c = jnp.sum(jnp.where(edges.mask, per, 0.0))
+        _, rho = opt.robust_edge_scale(
+            r, edges, robust_kernel, robust_delta
+        )
+        c = jnp.sum(jnp.where(edges.mask, rho, 0.0))
         rp = p[0] - prior_pose
         rp = rp.at[2].set(se2.normalize_angle(rp[2]))
         return c + prior_information * jnp.dot(rp, rp)
@@ -366,7 +372,8 @@ def optimize_direct(
         p, p_lo, lam, chi_prev = carry
         blocks = sparse.linearize_edges(
             p, edges, prior_information, lam, prior_pose,
-            p_lo=p_lo,
+            p_lo=p_lo, robust_kernel=robust_kernel,
+            robust_delta=robust_delta,
         )
         delta = -solve_normal_equations(blocks, edges, part, n)
         xy, xy_lo = sparse.two_sum_update(
