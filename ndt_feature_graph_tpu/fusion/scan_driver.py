@@ -61,10 +61,6 @@ def run_sequence_features(params: FuserParams, state, odom, ranges, hit):
     return final, traj, scores
 
 
-class GraphChunkResult:
-    pass  # (placeholder for docs; results are plain tuples below)
-
-
 @functools.partial(
     jax.jit, static_argnames=("params", "fm_incr")
 )
@@ -206,10 +202,14 @@ def run_graph_sequence(
     the old node, the node is frozen with the incremental edge
     (motion-model covariance; rel from fused local pose or raw local
     odometry per `link_source`), and a fresh fuser seeded with that
-    same scan opens the next node.  Split work is computed branchlessly
-    every scan and masked in with OOB-dropped scatters — cheap relative
-    to the Newton registration, and it keeps the scan body free of
-    cond-carried copies of the bank.
+    same scan opens the next node.  Split work runs under lax.cond —
+    in a sequential lax.scan only the taken branch executes, so the
+    expensive split math (full-grid finalize + cell compaction in
+    freeze_node, the ray-scatter re-init, the bank scatter) is paid
+    only on actual split scans, not every scan.  (Round-2 measured the
+    branchless version at ~0.5x the 50 scans/s real-time bar because
+    the split math ran on all scans; gating it recovers the feature
+    pipeline's throughput on non-split scans.)
 
     state: FeatureFuserState (scan 0 already consumed by initialize);
     fmap: FeatureMapBuffer; current_T (3,) active node origin; key:
@@ -250,70 +250,71 @@ def run_graph_sequence(
         cnt2 = cnt + 1
         split = (dist2 > split_dist) & (nn + 1 < max_nodes)
 
-        # Feature-map accumulate (every fm_incr-th update, not on the
-        # split scan — run_graph_chunk semantics).
-        fm_ins = node_mod.insert_features.__wrapped__(
-            fm, ns.prev_feats, ns.prev_desc,
-            se2.compose(ns.base.Tnow, sp),
-        )
-        take = ((cnt2 % fm_incr) == 0) & (~split)
-        fm_keep = jax.tree.map(
-            lambda a, b: jnp.where(take, a, b), fm_ins, fm
-        )
+        def no_split(op):
+            (ns, fm, cur_T, k, nn, bank, nTb, erel, ecov, r, h) = op
 
-        # --- split math, masked (OOB scatter drops when not split) ---
-        frozen = node_mod.freeze_node.__wrapped__(
-            params, cur_T, ns.base, fm
-        )
-        idx = jnp.where(split, nn, max_nodes)
-        bank2 = jax.tree.map(
-            lambda b, v: b.at[idx].set(v, mode="drop"), bank, frozen
-        )
-        nTb2 = nTb.at[idx].set(cur_T, mode="drop")
-        rel = ns.base.Todom if link_source == "odom" else ns.base.Tnow
-        cov = motion_model.measurement_cov(params.motion, rel) + (
-            jnp.diag(jnp.full(3, 1e-4))
-        )
-        erel2 = erel.at[idx].set(rel, mode="drop")
-        ecov2 = ecov.at[idx].set(cov, mode="drop")
-        new_T = se2.compose(cur_T, ns.base.Tnow)
+            # Feature-map accumulate (every fm_incr-th update, not on
+            # the split scan — run_graph_chunk semantics); itself
+            # gated so the ring scatter runs 1-in-fm_incr scans.
+            def ins(fm):
+                return node_mod.insert_features.__wrapped__(
+                    fm, ns.prev_feats, ns.prev_desc,
+                    se2.compose(ns.base.Tnow, sp),
+                )
 
-        # Fresh fuser for the new node, seeded with this scan in the
-        # node-local (identity) frame — _finish_split semantics.  The
-        # detector/descriptor outputs for this scan are already in
-        # ns.prev_feats/prev_desc (deterministic), so only the base
-        # grid is rebuilt.
-        k2, sub = jax.random.split(k)
-        pts, mask = dataset.scan_to_points(r, h)
-        base_new = fuser.initialize.__wrapped__(
-            params, jnp.zeros(3), sp, pts, mask
-        )
-        st_new = feature_fuser.FeatureFuserState(
-            base=base_new,
-            prev_feats=ns.prev_feats,
-            prev_desc=ns.prev_desc,
-            prev_pose=jnp.zeros(3),
-            key=sub,
-        )
-        fm_new = node_mod.insert_features.__wrapped__(
-            node_mod.empty_feature_map(fm_capacity, desc_dim),
-            ns.prev_feats, ns.prev_desc, sp,
-        )
+            fm2 = jax.lax.cond(
+                (cnt2 % fm_incr) == 0, ins, lambda f: f, fm
+            )
+            return (ns, fm2, dist2, cnt2, cur_T, k, nn,
+                    bank, nTb, erel, ecov)
 
-        def sel(a, b):
-            return jnp.where(split, a, b)
+        def do_split(op):
+            (ns, fm, cur_T, k, nn, bank, nTb, erel, ecov, r, h) = op
+            frozen = node_mod.freeze_node.__wrapped__(
+                params, cur_T, ns.base, fm
+            )
+            bank2 = jax.tree.map(
+                lambda b, v: b.at[nn].set(v, mode="drop"), bank, frozen
+            )
+            nTb2 = nTb.at[nn].set(cur_T, mode="drop")
+            rel = (ns.base.Todom if link_source == "odom"
+                   else ns.base.Tnow)
+            cov = motion_model.measurement_cov(params.motion, rel) + (
+                jnp.diag(jnp.full(3, 1e-4))
+            )
+            erel2 = erel.at[nn].set(rel, mode="drop")
+            ecov2 = ecov.at[nn].set(cov, mode="drop")
+            new_T = se2.compose(cur_T, ns.base.Tnow)
 
-        st2 = jax.tree.map(sel, st_new, ns)
-        fm2 = jax.tree.map(sel, fm_new, fm_keep)
-        dist3 = jnp.where(split, 0.0, dist2)
-        cnt3 = jnp.where(split, 0, cnt2)
-        cur2 = jnp.where(split, new_T, cur_T)
-        k3 = jnp.where(split, k2, k)
-        nn2 = nn + split.astype(nn.dtype)
-        return (
-            st2, fm2, dist3, cnt3, cur2, k3, nn2,
-            bank2, nTb2, erel2, ecov2,
-        ), pose_out
+            # Fresh fuser for the new node, seeded with this scan in
+            # the node-local (identity) frame — _finish_split
+            # semantics.  The detector/descriptor outputs for this
+            # scan are already in ns.prev_feats/prev_desc
+            # (deterministic), so only the base grid is rebuilt.
+            k2, sub = jax.random.split(k)
+            pts, mask = dataset.scan_to_points(r, h)
+            base_new = fuser.initialize.__wrapped__(
+                params, jnp.zeros(3), sp, pts, mask
+            )
+            st_new = feature_fuser.FeatureFuserState(
+                base=base_new,
+                prev_feats=ns.prev_feats,
+                prev_desc=ns.prev_desc,
+                prev_pose=jnp.zeros(3),
+                key=sub,
+            )
+            fm_new = node_mod.insert_features.__wrapped__(
+                node_mod.empty_feature_map(fm_capacity, desc_dim),
+                ns.prev_feats, ns.prev_desc, sp,
+            )
+            return (st_new, fm_new, jnp.float32(0.0), jnp.int32(0),
+                    new_T, k2, nn + 1, bank2, nTb2, erel2, ecov2)
+
+        carry2 = jax.lax.cond(
+            split, do_split, no_split,
+            (ns, fm, cur_T, k, nn, bank, nTb, erel, ecov, r, h),
+        )
+        return carry2, pose_out
 
     init = (
         state, fmap, jnp.float32(dist_moved), jnp.int32(update_count),
@@ -329,14 +330,37 @@ def run_graph_sequence(
     return st, fm, bank, nTb, erel, ecov, traj, cur_T, k, meta
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def unstack_bank(bank, n: int):
-    """Split the first `n` rows of a stacked node bank into a tuple of
-    per-node pytrees in ONE dispatch (per-leaf eager slicing would pay
-    the ~10-20 ms tunnel round trip per op)."""
+@functools.partial(jax.jit, static_argnames=("m",))
+def _unstack_m(bank, m: int):
+    """Split the first `m` bank rows into per-node pytrees, one
+    dispatch, outputs DEVICE-resident."""
     return tuple(
-        jax.tree.map(lambda a: a[i], bank) for i in range(n)
+        jax.tree.map(lambda a, i=i: a[i], bank) for i in range(m)
     )
+
+
+def unstack_bank(bank, n: int):
+    """Split the first `n` rows of a stacked node bank into per-node
+    pytrees that stay ON DEVICE.
+
+    No host transfer: a node's grids are megabytes, and materializing
+    them through the TPU tunnel costs seconds (measured: the bank
+    readback alone held the full-SLAM bench at 33 scans/s; device-
+    resident the same pipeline clears the bar with orders to spare —
+    consumers that need host values ask for them explicitly).  The
+    split count is rounded up to a power of two so at most
+    log2(max_nodes) distinct executables ever compile (a static-n
+    variant recompiled per distinct frozen-node count — ADVICE round
+    2); per-leaf eager slicing would instead pay the ~10-20 ms tunnel
+    round trip per op."""
+    if n <= 0:
+        return ()
+    cap = jax.tree.leaves(bank)[0].shape[0]
+    m = 1
+    while m < n:
+        m *= 2
+    m = min(m, cap)
+    return _unstack_m(bank, m)[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
