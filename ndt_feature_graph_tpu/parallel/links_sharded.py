@@ -35,7 +35,7 @@ def compute_links_sharded(
 ) -> links_mod.LinkSet:
     """Same contract as graph.links.compute_links_batch, pair axis
     sharded over the mesh."""
-    n_shards = mesh.shape[axis]
+    n_shards = mesh_mod.axis_size(mesh, axis)
     pair_ref = mesh_mod.pad_to_multiple(pair_ref, n_shards)
     pair_mov = mesh_mod.pad_to_multiple(pair_mov, n_shards)
     pair_mask = mesh_mod.pad_to_multiple(pair_mask, n_shards, fill=False)

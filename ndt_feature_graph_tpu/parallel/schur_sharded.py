@@ -42,7 +42,7 @@ def optimize_schur_sharded(
     `mesh[axis]`.  Requires part.n_blocks % mesh size == 0 (pad the
     partition's block count if needed)."""
     n = poses.shape[0]
-    n_shards = mesh.shape[axis]
+    n_shards = mesh_mod.axis_size(mesh, axis)
     prior_pose = poses[0]
     sep = part.sep_idx
     ms = jnp.repeat(part.sep_mask, 3)

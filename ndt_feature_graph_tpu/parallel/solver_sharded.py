@@ -40,7 +40,7 @@ def optimize_sharded(
     """
     n = poses.shape[0]
     dim = 3 * n
-    n_shards = mesh.shape[axis]
+    n_shards = mesh_mod.axis_size(mesh, axis)
     prior_pose = poses[0]
 
     # Pad edges to a multiple of the shard count (masked, so exact).

@@ -76,7 +76,7 @@ def optimize_direct_sharded(
     """Same contract as graph.sparse_direct.optimize_direct,
     distributed over `mesh[axis]`."""
     n = poses.shape[0]
-    n_shards = mesh.shape[axis]
+    n_shards = mesh_mod.axis_size(mesh, axis)
     S = part.sep_ids.shape[0]
     prior_pose = poses[0]
 
