@@ -82,6 +82,30 @@ def insert_scan(
     )
 
 
+def save_database(path, db: ScanDatabase):
+    """Persist the RefScan store to one npz.
+
+    The reference keeps its RefScans in a mongo collection that
+    survives node restarts (localization_monitor_node.cpp:69-547,
+    generate_scan_map.cpp:115-140 'scan map' persisted via
+    mongo_ros::MessageCollection); here the whole fixed-capacity
+    database pytree checkpoints through io.serialize."""
+    from ndt_feature_graph_tpu.io import serialize
+
+    serialize.save_pytree(path, db)
+
+
+def load_database(path, fp: FeatureParams) -> ScanDatabase:
+    """Rebuild a ScanDatabase from a checkpoint (capacity comes from
+    the file)."""
+    from ndt_feature_graph_tpu.io import serialize
+
+    data = np.load(path)
+    capacity = int(data["poses"].shape[0])
+    template = empty_database(fp, capacity)
+    return serialize.load_pytree(path, template)
+
+
 def relocalize(
     db: ScanDatabase,
     fp: FeatureParams,

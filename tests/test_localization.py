@@ -137,3 +137,40 @@ def test_place_recognition_roundtrip():
     assert pose is not None, n
     np.testing.assert_allclose(pose[:2], np.asarray(query)[:2], atol=0.5)
     assert abs(se2.normalize_angle(pose[2] - float(query[2]))) < 0.25
+
+
+def test_scan_database_persists(tmp_path):
+    """The RefScan DB survives a save/load (process restart) and still
+    recovers a kidnapped robot — mongo-collection parity
+    (localization_monitor_node.cpp:69-547: the scan map outlives the
+    node; generate_scan_map.cpp writes it once, the monitor reloads)."""
+    fp = FeatureParams(num_beams=360, max_range=15.0)
+    segs = dataset.default_world()
+    db = place_rec.empty_database(fp, capacity=8)
+    for p in [(0.0, -4.5, 0.0), (5.0, -4.5, 1.5), (-6.0, 0.0, 2.0)]:
+        pj = jnp.asarray(p, jnp.float32)
+        rng, hit = dataset.raycast(segs, pj, 360, 15.0)
+        db = place_rec.insert_scan(db, fp, pj, rng, hit)
+
+    path = tmp_path / "scan_db.npz"
+    place_rec.save_database(path, db)
+    db2 = place_rec.load_database(path, fp)
+
+    # Bit-exact round trip of every leaf.
+    for a, b in zip(jax.tree.leaves(db), jax.tree.leaves(db2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Kidnapped recovery across the restart boundary.
+    query = jnp.array([5.3, -4.3, 1.7])
+    rng, hit = dataset.raycast(segs, query, 360, 15.0)
+    pose, _best, n = place_rec.relocalize(
+        db2, fp, rng, hit, jax.random.PRNGKey(2), min_num_matches=5
+    )
+    assert pose is not None, n
+    np.testing.assert_allclose(pose[:2], np.asarray(query)[:2], atol=0.5)
+
+    # The reloaded DB keeps accepting novel scans (ring state intact).
+    far = jnp.asarray([5.0, 5.0, -2.0], jnp.float32)
+    rng, hit = dataset.raycast(segs, far, 360, 15.0)
+    db3 = place_rec.insert_scan(db2, fp, far, rng, hit)
+    assert int(jnp.sum(db3.mask)) == 4
