@@ -22,8 +22,12 @@ extra decomposition:
     570-node / ~4.3k-edge graph (12 iterations)
 
 Measurement protocol (CLAUDE.md): whole workloads inside jitted
-executables, host-distinct inputs per rep, consumption of outputs that
-depend on every step, block per rep, median over reps.
+executables, host-distinct inputs per rep, and a scalar digest that
+depends on every output buffer READ BACK to the host per rep (float()).
+jax.block_until_ready is a NO-OP through this TPU relay — it returns
+before execution; only value readback forces the computation (measured
+2026-08-20: an identical 199-scan workload 'ran' in 1.1 ms under
+block_until_ready and 5.4 s under float(digest)).  Median over reps.
 
 The reference publishes no numbers (BASELINE.md); vs_baseline is
 measured against the real-time bar the reference must sustain online —
@@ -117,12 +121,12 @@ def bench_fuser(params, seq, reps=8):
     odom = seq.odom[1:]
     t = seq.ranges.shape[0]
     out = run(state, odom, pts_all[1:], mask_all[1:])
-    jax.block_until_ready(out)
+    float(out[2])  # force (block_until_ready is a no-op on the relay)
 
     def rep(k):
         out = run(state, odom + (k + 1) * 1e-5, pts_all[1:],
                   mask_all[1:])
-        jax.block_until_ready(out)
+        float(out[2])
 
     return (t - 1) / median_time(rep, reps)
 
@@ -153,12 +157,12 @@ def bench_features(params, seq, reps=6):
     odom = seq.odom[1:]
     t = seq.ranges.shape[0]
     out = run(state, odom, seq.ranges[1:], seq.hit[1:])
-    jax.block_until_ready(out)
+    float(out[2])  # force (block_until_ready is a no-op on the relay)
 
     def rep(k):
         out = run(state, odom + (k + 1) * 1e-5, seq.ranges[1:],
                   seq.hit[1:])
-        jax.block_until_ready(out)
+        float(out[2])
 
     return (t - 1) / median_time(rep, reps)
 
@@ -284,14 +288,14 @@ def bench_offline(params, seq, reps=3):
             p.features, p.ndt.resolution, stacked, ref, mov, mask, key
         )
         ls = links_mod.refine_links_d2d(p.ndt, p.matcher, stacked, ls)
-        return links_mod.rescore_links(p.ndt.resolution, stacked, ls)
+        ls = links_mod.rescore_links(p.ndt.resolution, stacked, ls)
+        # Scalar digest over every output buffer, read back (forcing).
+        return jnp.sum(ls.T) + jnp.sum(ls.score) + jnp.sum(ls.cov)
 
-    out = propose(jax.random.PRNGKey(0))
-    jax.block_until_ready(out)
+    float(propose(jax.random.PRNGKey(0)))
 
     def rep(k):
-        out = propose(jax.random.PRNGKey(k + 1))
-        jax.block_until_ready(out)
+        float(propose(jax.random.PRNGKey(k + 1)))
 
     pairs_per_sec = B / median_time(rep, reps)
 
@@ -329,14 +333,14 @@ def bench_offline(params, seq, reps=3):
     part = sd.make_segments(n_nodes, edges, max_seg_len=64)
     out = sd.optimize_direct(init, edges, part, iterations=12,
                              robust_kernel="dcs")
-    jax.block_until_ready(out)
+    float(jnp.sum(out[0]) + out[1])
 
     def rep2(k):
         out = sd.optimize_direct(
             init + (k + 1) * 1e-6, edges, part, iterations=12,
             robust_kernel="dcs",
         )
-        jax.block_until_ready(out)
+        float(jnp.sum(out[0]) + out[1])
 
     solve_ms = median_time(rep2, reps) * 1e3
     return pairs_per_sec, solve_ms, int(i.shape[0])

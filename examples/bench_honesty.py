@@ -31,15 +31,16 @@ import numpy as np
 from ndt_feature_graph_tpu.fusion import fuser
 from ndt_feature_graph_tpu.io import dataset
 
-T_STEPS = 40
 TRIAL_CHUNK = 6          # ops/d2d.py newton_match trial_chunk
 VPU_PEAK = 7.7e12        # v5e f32 VPU (8x128 lanes x 4 MACs x ~0.94 GHz x 2)
 
-# Per-pair FLOPs (hand count of d2d_analytic._pair_fgh ~130 incl. exp,
-# + pair_score ~25 for the acceptance eval) at the canonical op point:
-# 1024 cells x 25-cell window pairs per evaluation.
+# Per-pair FLOPs (hand count of d2d_analytic._pair_fgh ~130 incl. exp)
+# at the canonical op point: 1024 cells x 25-cell window pairs per
+# trial.  The fgh-reuse trial loop (ops/d2d.newton_match, round 3) pays
+# exactly ONE fgh evaluation per trial (the trial point's derivatives
+# double as the next linearization) — no separate acceptance probe.
 PAIRS = 1024 * 25
-FLOPS_PER_TRIAL = PAIRS * 155
+FLOPS_PER_TRIAL = PAIRS * 130
 
 
 def main():
@@ -96,11 +97,12 @@ def main():
 
     t1, out1 = timed(run1)
     t2, _ = timed(run2)
+    n_scans = int(seq.ranges.shape[0]) - 1
     iters = np.asarray(out1[2])
     # Executed trials: cond-gated chunks run in quanta of TRIAL_CHUNK.
     executed = np.ceil(iters / TRIAL_CHUNK) * TRIAL_CHUNK
     trials_per_scan = float(executed.mean())
-    sps = (T_STEPS - 1) / t1
+    sps = n_scans / t1
     flops_scan = trials_per_scan * FLOPS_PER_TRIAL
     achieved = flops_scan * sps
     print(json.dumps({

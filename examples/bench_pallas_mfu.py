@@ -111,7 +111,7 @@ def timing_mode():
         try:
             t0 = time.perf_counter()
             out = run(state, odom, pts, mask)
-            jax.block_until_ready(out)
+            float(out[2])  # block_until_ready is a NO-OP on the relay
             print(f"{name}: compile+first {time.perf_counter()-t0:.1f}s",
                   flush=True)
             times = []
@@ -119,7 +119,7 @@ def timing_mode():
                 odom_k = odom + (k + 1) * 1e-5
                 t0 = time.perf_counter()
                 out = run(state, odom_k, pts, mask)
-                jax.block_until_ready(out)
+                float(out[2])  # force via readback
                 times.append(time.perf_counter() - t0)
             times.sort()
             sps = (T_STEPS - 1) / times[len(times) // 2]

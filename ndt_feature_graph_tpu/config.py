@@ -92,10 +92,11 @@ class MatcherParams:
     use_pallas: bool = False          # fused Pallas pair-derivative kernel
                                       # (ops/pallas_kernels.py) instead of
                                       # the XLA-fused analytic path.
-                                      # Measured on TPU v5e: the kernel
-                                      # LOSES ~10^4x (34 vs 382k scans/s,
-                                      # see pallas_kernels.py docstring) —
-                                      # keep False.
+                                      # Measured on TPU v5e (honest
+                                      # readback-forced timing, r3): at
+                                      # PARITY with the XLA path (fgh
+                                      # 0.25 vs 0.23 ms) — keep False, no
+                                      # benefit (pallas_kernels.py).
 
     replace = _replace
 

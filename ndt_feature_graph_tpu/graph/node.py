@@ -152,6 +152,7 @@ def empty_node(params: FuserParams, fm_capacity: int) -> NodeData:
             means=jnp.zeros((h, w, 2)),
             covs=jnp.zeros((h, w, 2, 2)),
             valid=jnp.zeros((h, w), bool),
+            packed=jnp.zeros((h * w, 8)),
         ),
         cells=ndt_map.CellList(
             means=jnp.zeros((mc, 2)),

@@ -164,26 +164,16 @@ def fgh_dense(
     ops.d2d.d2d_score_dense's value/derivatives in one pass."""
     from ndt_feature_graph_tpu.ops.d2d import _apply_increment
 
+    from ndt_feature_graph_tpu.ops.d2d import gather_windows
+
     T = _apply_increment(d, T0)
     moved = src.transform(T)
-    h, w = tgt.valid.shape
     n = m.n_neighbours
-    win = 2 * n + 1
 
     rel = (moved.means - tgt.origin) / map_params.resolution
     ix0 = jnp.floor(rel[..., 0]).astype(jnp.int32)
     iy0 = jnp.floor(rel[..., 1]).astype(jnp.int32)
-    offs = jnp.arange(-n, n + 1)
-    dy = jnp.repeat(offs, win)
-    dx = jnp.tile(offs, win)
-    iy = iy0[:, None] + dy[None, :]
-    ix = ix0[:, None] + dx[None, :]
-    inb = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
-    flat = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
-
-    t_means = tgt.means.reshape(-1, 2)[flat]
-    t_covs = tgt.covs.reshape(-1, 2, 2)[flat]
-    t_valid = tgt.valid.reshape(-1)[flat] & inb
+    t_means, t_covs, t_valid = gather_windows(tgt, iy0, ix0, n)
 
     mu = moved.means[:, None, :] - t_means
     Sig = moved.covs[:, None, :, :] + t_covs

@@ -11,20 +11,17 @@ vectors, padded to row tiles of (8, 128) f32, processed tile-by-tile
 over a 1-D grid with accumulation in VMEM scratch, written out once.
 Falls back to interpret mode off-TPU (tests).
 
-MEASURED VERDICT (2026-08-19, TPU v5e via tunnel, canonical op point,
-examples/bench_pallas_mfu.py): the kernel compiles under real Mosaic
-and produces trajectories identical to the XLA path, but LOSES
-catastrophically — 34 scans/s vs 382,559 scans/s for the XLA-fused
-analytic path (fuser sequence driver, honest protocol).  Root cause:
-the (8, 128)-tile grid with SMEM scalar accumulation serializes ~25
-tiny grid steps per derivative evaluation and blocks XLA from fusing
-the pair algebra into the surrounding Newton scan, while the XLA path
-already keeps the (N, K) pair intermediates register/VMEM-resident —
-there is no HBM round-trip for a kernel to eliminate at this size.
-`use_pallas` therefore stays False in every production config; the
-kernel is retained as a verified Mosaic reference (tests run it in
-interpret mode and on-hardware parity is asserted by the bench
-script), not as a production path.
+MEASURED VERDICT (re-measured 2026-08-20 with READBACK-FORCED timing —
+the round-2 numbers "34 vs 382,559 scans/s" were artifacts of
+jax.block_until_ready being a NO-OP through the TPU relay, see
+CLAUDE.md): on real Mosaic/v5e at the canonical op point the kernel is
+at PARITY with the XLA-fused analytic path — fgh evaluation 0.25 ms
+(pallas) vs 0.23 ms (XLA); full fuser.update 11.0 vs 10.7 ms/scan;
+identical results to 1e-6.  Neither wins: the evaluation is
+gather/work-bound, not op-overhead-bound, and the kernel covers only
+the pair algebra after the same gathers.  `use_pallas` stays False
+(no benefit, extra compile path); the kernel is retained as a verified
+Mosaic reference (tests run it in interpret mode).
 """
 
 from __future__ import annotations

@@ -31,7 +31,15 @@ class StageTimers:
             yield
         finally:
             if block_on is not None:
-                jax.block_until_ready(block_on)
+                # Force by VALUE READBACK: jax.block_until_ready is a
+                # NO-OP through the TPU tunnel relay (returns before
+                # execution — CLAUDE.md measurement protocol).  A sum
+                # readback of every leaf is the cheapest host-visible
+                # consumption that depends on all output buffers.
+                import jax.numpy as jnp
+
+                for leaf in jax.tree.leaves(block_on):
+                    float(jnp.sum(jnp.asarray(leaf).astype(jnp.float32)))
             self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1
 
