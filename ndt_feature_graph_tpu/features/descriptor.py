@@ -108,19 +108,18 @@ def describe(
         mok, chord[:, :, None] / s_steps / bin_w[:, None, None], 0.0
     )
 
-    # Scatter into (F, nbins).
-    fidx = jnp.arange(f)
-    hflat = (fidx[:, None] * nbins + hbin).reshape(-1)
-    hits = jnp.zeros(f * nbins, jnp.float32).at[hflat].add(
-        hok.reshape(-1).astype(jnp.float32)
+    # Bin-accumulate as batched one-hot contractions instead of
+    # scatter-adds: TPU scatters serialize (~measured 5 ms for 35k
+    # updates), while a (F, B[*K]) x (F, B[*K], nbins) contraction is
+    # an MXU-shaped batched GEMV over at most F*B*K*nbins = ~9M MACs —
+    # the canonical scatter-as-matmul trick for small bin counts.
+    bins_iota = jnp.arange(nbins, dtype=jnp.int32)
+    h_onehot = (hbin[..., None] == bins_iota).astype(jnp.float32)
+    hits = jnp.einsum(
+        "fb,fbn->fn", hok.astype(jnp.float32), h_onehot
     )
-    mflat = (fidx[:, None, None] * nbins + mbin).reshape(-1)
-    misses = jnp.zeros(f * nbins, jnp.float32).at[mflat].add(
-        mw.reshape(-1)
-    )
-
-    hits = hits.reshape(f, nbins)
-    misses = misses.reshape(f, nbins)
+    m_onehot = (mbin[..., None] == bins_iota).astype(jnp.float32)
+    misses = jnp.einsum("fbk,fbkn->fn", mw, m_onehot)
     if params.descriptor_stat == "hitmiss":
         # Separately-normalized hit/miss histograms, concatenated with
         # weight 1/2 each: symmetric chi2 on the concatenation equals
