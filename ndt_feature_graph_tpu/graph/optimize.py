@@ -54,6 +54,21 @@ class EdgeList(NamedTuple):
     meas: jnp.ndarray    # (E, 3) relative pose (j in i's frame)
     info: jnp.ndarray    # (E, 3, 3) information matrix
     mask: jnp.ndarray    # (E,) bool
+    # Optional (E,) bool: True for odometry-chain factors (never a
+    # wrong data association -> exempt from robust reweighting).  When
+    # None, |i-j| == 1 is used as a fallback classifier — which
+    # misclassifies a loop closure between ADJACENT nodes (reachable
+    # with valid_min_idx_dist=1) as odometry; producers that know the
+    # provenance (graph/slam.py) set this explicitly.
+    is_odom: jnp.ndarray | None = None
+
+
+def edge_is_loop(edges: EdgeList) -> jnp.ndarray:
+    """(E,) bool: which factors are loop closures (robust-kernel
+    candidates).  Prefers the explicit provenance flag."""
+    if edges.is_odom is not None:
+        return ~edges.is_odom
+    return jnp.abs(edges.i - edges.j) != 1
 
 
 def edge_residual(Ti, Tj, meas):
@@ -119,7 +134,7 @@ def robust_edge_scale(r, edges: EdgeList, kernel: str, delta: float):
     chi2_e = jnp.einsum("ei,eij,ej->e", r, edges.info, r)
     if kernel == "none":
         return jnp.ones_like(chi2_e), chi2_e
-    is_loop = jnp.abs(edges.i - edges.j) != 1
+    is_loop = edge_is_loop(edges)
     act = is_loop & edges.mask
     # Masked median of loop-edge chi2 (inactive slots sort to +inf).
     vals = jnp.sort(jnp.where(act, chi2_e, jnp.inf))

@@ -429,26 +429,30 @@ class NDTFeatureGraphSLAM:
         e_meas = np.zeros((cap_e, 3), np.float32)
         e_info = np.zeros((cap_e, 3, 3), np.float32)
         e_mask = np.zeros(cap_e, bool)
+        e_odom = np.zeros(cap_e, bool)
         edges = [
-            (i, j, rel, opt_mod.spd_info_np(cov))
+            (i, j, rel, opt_mod.spd_info_np(cov), True)
             for (i, j, rel, cov) in self.odom_edges
         ] + [
-            (i, j, rel, opt_mod.spd_info_np(cov, eps=gp.link_info_eps))
+            (i, j, rel,
+             opt_mod.spd_info_np(cov, eps=gp.link_info_eps), False)
             for (i, j, rel, cov, _s) in self.loop_links
         ]
         ne = min(len(edges), cap_e)
         for idx in range(ne):
-            i, j, rel, info = edges[idx]
+            i, j, rel, info, odo = edges[idx]
             e_i[idx], e_j[idx] = i, j
             e_meas[idx] = rel
             e_info[idx] = info
             e_mask[idx] = True
+            e_odom[idx] = odo
         edge_list = opt_mod.EdgeList(
             i=jnp.asarray(e_i),
             j=jnp.asarray(e_j),
             meas=jnp.asarray(e_meas),
             info=jnp.asarray(e_info),
             mask=jnp.asarray(e_mask),
+            is_odom=jnp.asarray(e_odom),
         )
         out, _chi2 = opt_mod.optimize(
             jnp.asarray(poses),
@@ -556,7 +560,7 @@ class NDTFeatureGraphSLAM:
         silently discard information whenever the offline all-pairs
         candidate gates differ (VERDICT round-1 item 7) — so they are
         added too, deduplicated against same-pair offline links."""
-        e_i, e_j, e_meas, e_info = [], [], [], []
+        e_i, e_j, e_meas, e_info, e_odom = [], [], [], [], []
         n = len(self.nodes)
         for (i, j, rel, cov) in self.odom_edges:
             if j >= n:
@@ -565,6 +569,7 @@ class NDTFeatureGraphSLAM:
             e_j.append(j)
             e_meas.append(rel)
             e_info.append(opt_mod.spd_info_np(cov))
+            e_odom.append(True)
         kept_pairs = set()
         if link_set is not None:
             keep = np.asarray(link_keep)
@@ -587,6 +592,7 @@ class NDTFeatureGraphSLAM:
                         link_cov[k], eps=self.params.graph.link_info_eps
                     )
                 )
+                e_odom.append(False)
         for (i, j, rel, cov, _s) in self.loop_links:
             if j >= n or (i, j) in kept_pairs or (j, i) in kept_pairs:
                 continue
@@ -598,6 +604,7 @@ class NDTFeatureGraphSLAM:
                     np.asarray(cov), eps=self.params.graph.link_info_eps
                 )
             )
+            e_odom.append(False)
         e = len(e_i)
         return opt_mod.EdgeList(
             i=jnp.asarray(np.asarray(e_i, np.int32)),
@@ -605,6 +612,7 @@ class NDTFeatureGraphSLAM:
             meas=jnp.asarray(np.asarray(e_meas, np.float32)),
             info=jnp.asarray(np.asarray(e_info, np.float32)),
             mask=jnp.ones(e, bool),
+            is_odom=jnp.asarray(np.asarray(e_odom, bool)),
         )
 
     def _solve(self, gp, node_T, edges, robust_delta=None):
@@ -720,7 +728,10 @@ class NDTFeatureGraphSLAM:
             "trajectory": jnp.asarray(np.stack(self.trajectory)),
             "times": jnp.asarray(np.asarray(self.times, np.float32)),
         }
-        serialize.save_pytree(path, tree)
+        # The packed gather layout (~1.3 MB/node) is derivable from
+        # means/covs/valid — reconstructed on load (serialize.
+        # derive_packed), not stored.
+        serialize.save_pytree(path, tree, exclude_suffixes=("/packed",))
 
     @classmethod
     def load(cls, path, params: SLAMParams):
@@ -751,7 +762,9 @@ class NDTFeatureGraphSLAM:
             ),
             "times": jnp.zeros(data["times"].shape[0]),
         }
-        tree = serialize.load_pytree(path, template)
+        tree = serialize.load_pytree(
+            path, template, derive=serialize.derive_packed
+        )
 
         slam = cls(params)
         stacked = tree["nodes"]

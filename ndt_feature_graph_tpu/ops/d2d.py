@@ -88,8 +88,15 @@ def gather_windows(tgt: DenseTarget, iy0, ix0, n: int):
     gather from the packed field.
 
     Returns (t_means (N, K, 2), t_covs (N, K, 2, 2), t_valid (N, K))
-    with K = (2n+1)^2 — bit-identical to gathering means/covs/valid
-    separately with an explicit in-bounds mask.
+    with K = (2n+1)^2 — equivalent to gathering means/covs/valid
+    separately with an explicit in-bounds mask, up to ENFORCED
+    covariance symmetry: the pack stores one off-diagonal (c01) and
+    mirrors it into c10, whereas condition_cov's f32 eigen-
+    reconstruction is not exactly symmetric, so results can differ
+    from the old three-gather path at float-ulp level (the
+    symmetrization is the better behavior — asymmetric covariances
+    are what produced the indefinite-information disaster, see
+    cov_from_hessian).
     """
     h, w = tgt.valid.shape
     win = 2 * n + 1

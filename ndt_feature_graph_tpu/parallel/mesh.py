@@ -58,9 +58,16 @@ def make_mesh_2d(axes=("dcn", "ici")):
     no cross-host data placement."""
     devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
     nproc = max(d.process_index for d in devs) + 1
-    if len(devs) % nproc != 0:
+    counts = {}
+    for d in devs:
+        counts[d.process_index] = counts.get(d.process_index, 0) + 1
+    if len(set(counts.values())) != 1 or len(counts) != nproc:
+        # A merely-divisible total with UNEQUAL per-process counts
+        # would silently mix processes within a row, breaking the
+        # "each process's shard on its own devices" guarantee.
         raise ValueError(
-            f"{len(devs)} devices do not tile {nproc} processes"
+            f"uneven devices per process: {counts} — every process "
+            "must contribute the same local device count"
         )
     grid = np.asarray(devs).reshape(nproc, len(devs) // nproc)
     return Mesh(grid, axes)

@@ -80,21 +80,25 @@ def measure_fleet_throughput(
                 params, states, odom, pts, mask
             )
         )
+        # Scalar digest over EVERY output buffer, computed inside the
+        # same executable — reading it back (float()) is what forces
+        # the computation: jax.block_until_ready is a NO-OP through
+        # the TPU tunnel relay (measured round 3: 1.1 ms fantasy vs
+        # 5.4 s real on an identical workload — CLAUDE.md protocol).
         digest = sum(
             jnp.sum(x.astype(jnp.float32))
-            for x in jax.tree.leaves(finals)
+            for x in jax.tree.leaves((finals, trajs, scores))
         )
-        return trajs, digest
+        return digest
 
-    out = run(states, odom, pts, mask)
-    jax.block_until_ready(out)
+    # Warmup compiles AND is forced, so rep 1 measures steady state.
+    float(run(states, odom, pts, mask))
 
     times = []
     for k in range(reps):
         odom_k = odom + (k + 1) * 1e-5
         t0 = time.perf_counter()
-        out = run(states, odom_k, pts, mask)
-        jax.block_until_ready(out)
+        float(run(states, odom_k, pts, mask))
         times.append(time.perf_counter() - t0)
     times.sort()
     per = times[len(times) // 2]

@@ -15,6 +15,40 @@ import time
 from collections import defaultdict
 
 import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def _digest(leaves):
+    """ONE scalar depending on every (arithmetic) leaf buffer."""
+    return sum(
+        jnp.sum(x.astype(jnp.float32)) for x in leaves
+    ) if leaves else jnp.float32(0.0)
+
+
+def force_readback(tree):
+    """Force a pytree's computation by VALUE READBACK of one jitted
+    scalar digest: jax.block_until_ready is a NO-OP through the TPU
+    tunnel relay (returns before execution — CLAUDE.md measurement
+    protocol).  One jitted digest + one float() costs a single tunnel
+    round trip; per-leaf eager sums cost ~10-20 ms EACH and inflate
+    multi-leaf stage timings.  Non-arithmetic leaves (typed PRNG key
+    arrays, strings) are keyed to their raw data or skipped."""
+    leaves = []
+    for leaf in jax.tree.leaves(tree):
+        try:
+            arr = jnp.asarray(leaf)
+        except (TypeError, ValueError):
+            continue
+        if jax.dtypes.issubdtype(arr.dtype, jax.dtypes.prng_key):
+            arr = jax.random.key_data(arr)
+        if not (
+            jnp.issubdtype(arr.dtype, jnp.number)
+            or jnp.issubdtype(arr.dtype, jnp.bool_)
+        ):
+            continue
+        leaves.append(arr)
+    return float(_digest(leaves))
 
 
 class StageTimers:
@@ -31,15 +65,7 @@ class StageTimers:
             yield
         finally:
             if block_on is not None:
-                # Force by VALUE READBACK: jax.block_until_ready is a
-                # NO-OP through the TPU tunnel relay (returns before
-                # execution — CLAUDE.md measurement protocol).  A sum
-                # readback of every leaf is the cheapest host-visible
-                # consumption that depends on all output buffers.
-                import jax.numpy as jnp
-
-                for leaf in jax.tree.leaves(block_on):
-                    float(jnp.sum(jnp.asarray(leaf).astype(jnp.float32)))
+                force_readback(block_on)
             self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1
 
