@@ -22,7 +22,7 @@ from ndt_feature_graph_tpu.config import FeatureParams, GraphParams, MatcherPara
 from ndt_feature_graph_tpu.core import se2
 from ndt_feature_graph_tpu.features import ransac
 from ndt_feature_graph_tpu.graph.node import NodeData
-from ndt_feature_graph_tpu.ops import d2d, d2d_analytic
+from ndt_feature_graph_tpu.ops import d2d, d2d_analytic, ndt_map
 
 
 class LinkSet(NamedTuple):
@@ -96,6 +96,49 @@ def compute_link(
     return res.T, score, res.valid, nb
 
 
+def _overlap_score_flat(
+    occ_flat, occ_origins, ref_i, mov_i, T, h: int, w: int,
+    resolution: float,
+):
+    """occupancy_overlap_score against the STACKED bank: mov occupancy
+    comes from a contiguous dynamic-slice of the flat (N*H*W,) table,
+    the ref lookup is one offset gather — no per-pair (H, W) grid
+    copies under vmap (same rationale as d2d.gather_windows_flat)."""
+    hw = h * w
+    mov_occ_raw = jax.lax.dynamic_slice(occ_flat, (mov_i * hw,), (hw,))
+    mov_origin = occ_origins[mov_i]
+    ref_origin = occ_origins[ref_i]
+    ys = (jnp.arange(h) + 0.5) * resolution
+    xs = (jnp.arange(w) + 0.5) * resolution
+    cx = mov_origin[0] + xs
+    cy = mov_origin[1] + ys
+    centers = jnp.stack(
+        [
+            jnp.broadcast_to(cx[None, :], (h, w)),
+            jnp.broadcast_to(cy[:, None], (h, w)),
+        ],
+        -1,
+    ).reshape(-1, 2)
+    mov_occ = jax.nn.sigmoid(mov_occ_raw)
+    mov_has = jnp.abs(mov_occ_raw) > 1e-6
+
+    tp = se2.transform_points(T, centers)
+    rel = (tp - ref_origin) / resolution
+    ix = jnp.floor(rel[:, 0]).astype(jnp.int32)
+    iy = jnp.floor(rel[:, 1]).astype(jnp.int32)
+    inb = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+    flat = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
+    ref_occ_raw = occ_flat[ref_i * hw + flat]
+    ref_has = (jnp.abs(ref_occ_raw) > 1e-6) & inb
+    ref_occ = jax.nn.sigmoid(ref_occ_raw)
+
+    both = mov_has & ref_has
+    nb = jnp.sum(both)
+    diff2 = (mov_occ - ref_occ) ** 2
+    s = jnp.sum(jnp.where(both, diff2, 0.0)) / jnp.maximum(nb, 1)
+    return jnp.where(nb > 0, s, 1.0), nb
+
+
 @functools.partial(
     jax.jit, static_argnames=("fp", "resolution")
 )
@@ -109,16 +152,24 @@ def compute_links_batch(
     key,
 ) -> LinkSet:
     """All-pairs link proposal in one vmapped batch
-    (computeAllPossibleLinks, ndt_feature_graph.cpp:395-405)."""
+    (computeAllPossibleLinks, ndt_feature_graph.cpp:395-405).  Feature
+    maps (small) are gathered per pair; occupancy overlap reads the
+    flat bank in place."""
     keys = jax.random.split(key, pair_ref.shape[0])
+    h, w = nodes.occ.shape[1], nodes.occ.shape[2]
+    occ_flat = nodes.occ.reshape(-1)
 
     def one(i, j, k):
-        ref = jax.tree.map(lambda x: x[i], nodes)
-        mov = jax.tree.map(lambda x: x[j], nodes)
-        T, score, valid, _ = compute_link.__wrapped__(
-            fp, resolution, ref, mov, k
+        rf = jax.tree.map(lambda x: x[i], nodes.feats)
+        rd = nodes.desc[i]
+        mf = jax.tree.map(lambda x: x[j], nodes.feats)
+        md = nodes.desc[j]
+        res = ransac.match_sets(fp, rf, rd, mf, md, k)
+        score, _nb = _overlap_score_flat(
+            occ_flat, nodes.occ_origin, i, j, res.T, h, w, resolution
         )
-        return T, score, valid
+        score = jnp.where(res.valid, score, 1.0)
+        return res.T, score, res.valid
 
     T, score, valid = jax.vmap(one)(pair_ref, pair_mov, keys)
     eye = jnp.tile(jnp.eye(3)[None] * 0.05, (pair_ref.shape[0], 1, 1))
@@ -140,24 +191,35 @@ def refine_links_d2d(
     links: LinkSet,
 ) -> LinkSet:
     """NDT D2D refinement of every link + covariance from the Hessian
-    (updateLinksUsingNDTRegistration, ndt_feature_graph.cpp:260-345)."""
+    (updateLinksUsingNDTRegistration, ndt_feature_graph.cpp:260-345).
 
-    def one(ref_i, mov_i, T0, lmask):
-        ref = jax.tree.map(lambda x: x[ref_i], nodes)
-        mov = jax.tree.map(lambda x: x[mov_i], nodes)
+    The batched Newton runs against the FLAT packed bank
+    (d2d_analytic.fgh_dense_flat): each evaluation's window gather
+    indexes the shared (N*H*W, 8) table with a per-pair row offset,
+    instead of first materializing per-pair copies of whole target
+    grids under vmap (~330 MB/evaluation at the canonical 256-pair
+    batch — the offline phase's dominant HBM traffic before round 4)."""
+    h, w = map_params.grid_h, map_params.grid_w
+    packed_flat = nodes.target.packed.reshape(-1, 8)
+    origins = nodes.target.origin
 
-        def score_fn(d):
-            return d2d.d2d_score_dense(
-                d, T0, mov.cells, ref.target, map_params, m
-            )
+    def one(ref_i, mov_i, T0):
+        src = ndt_map.CellList(
+            means=nodes.cells.means[mov_i],
+            covs=nodes.cells.covs[mov_i],
+            mask=nodes.cells.mask[mov_i],
+        )
+        origin = origins[ref_i]
+        off = ref_i * (h * w)
 
         def fgh_fn(d):
-            return d2d_analytic.fgh_dense(
-                d, T0, mov.cells, ref.target, map_params, m
+            return d2d_analytic.fgh_dense_flat(
+                d, T0, src, packed_flat, origin, off, h, w,
+                map_params.resolution, m,
             )
 
         d, score, itr, conv = d2d.newton_match(
-            score_fn, jnp.zeros(3), m, fgh_fn
+            None, jnp.zeros(3), m, fgh_fn
         )
         T = se2.compose(d, T0)
         _, _, H = fgh_fn(d)
@@ -169,9 +231,7 @@ def refine_links_d2d(
         cov = d2d.cov_from_hessian(H, m)
         return T, cov, conv
 
-    T, cov, conv = jax.vmap(one)(
-        links.ref, links.mov, links.T, links.mask
-    )
+    T, cov, conv = jax.vmap(one)(links.ref, links.mov, links.T)
     return links._replace(T=T, cov=cov, mask=links.mask & conv)
 
 
@@ -179,12 +239,15 @@ def rescore_links(
     resolution: float, nodes: NodeData, links: LinkSet
 ) -> LinkSet:
     """Recompute occupancy-overlap scores for (possibly refined) link
-    transforms."""
+    transforms (flat-bank lookups, see _overlap_score_flat)."""
+    h, w = nodes.occ.shape[1], nodes.occ.shape[2]
+    occ_flat = nodes.occ.reshape(-1)
 
     def one(ref_i, mov_i, T):
-        ref = jax.tree.map(lambda x: x[ref_i], nodes)
-        mov = jax.tree.map(lambda x: x[mov_i], nodes)
-        s, _ = occupancy_overlap_score(ref, mov, T, resolution)
+        s, _ = _overlap_score_flat(
+            occ_flat, nodes.occ_origin, ref_i, mov_i, T, h, w,
+            resolution,
+        )
         return s
 
     score = jax.vmap(one)(links.ref, links.mov, links.T)

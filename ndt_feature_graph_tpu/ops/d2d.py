@@ -83,6 +83,48 @@ def make_dense_target(grid: ndt_map.NDTGrid, params: NDTMapParams) -> DenseTarge
     )
 
 
+def gather_windows_flat(
+    packed_flat, h: int, w: int, iy0, ix0, n: int, row_offset=0
+):
+    """Window gather against a FLAT packed table — the (H*W, 8) table
+    of one target, or a stacked node bank reshaped to (N*H*W, 8) with
+    `row_offset = node_idx * H * W` selecting the node.
+
+    The bank form is what makes batched pair registration cheap: under
+    vmap, `bank.packed[node_idx]` is itself a gather that materializes
+    a (B, H*W, 8) per-pair copy of every target grid (~330 MB at the
+    canonical 256-pair batch) BEFORE the window gather reads ~2% of its
+    rows; indexing the shared flat table with an offset skips that copy
+    entirely — one gather, straight from the bank.
+
+    Returns (t_means (..., K, 2), t_covs (..., K, 2, 2),
+    t_valid (..., K)) with K = (2n+1)^2.
+    """
+    win = 2 * n + 1
+    offs = jnp.arange(-n, n + 1)
+    dy = jnp.repeat(offs, win)
+    dx = jnp.tile(offs, win)
+    iy = iy0[..., None] + dy[None, :]   # (..., K)
+    ix = ix0[..., None] + dx[None, :]
+    inb = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
+    flat = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
+
+    Wn = packed_flat[row_offset + flat]   # (..., K, 8) — the gather
+    t_means = Wn[..., 0:2]
+    c00 = Wn[..., 2]
+    c01 = Wn[..., 3]
+    c11 = Wn[..., 4]
+    t_covs = jnp.stack(
+        [
+            jnp.stack([c00, c01], -1),
+            jnp.stack([c01, c11], -1),
+        ],
+        -2,
+    )
+    t_valid = (Wn[..., 5] > 0.5) & inb
+    return t_means, t_covs, t_valid
+
+
 def gather_windows(tgt: DenseTarget, iy0, ix0, n: int):
     """Gather each source cell's (2n+1)^2 target window rows with ONE
     gather from the packed field.
@@ -99,29 +141,7 @@ def gather_windows(tgt: DenseTarget, iy0, ix0, n: int):
     cov_from_hessian).
     """
     h, w = tgt.valid.shape
-    win = 2 * n + 1
-    offs = jnp.arange(-n, n + 1)
-    dy = jnp.repeat(offs, win)
-    dx = jnp.tile(offs, win)
-    iy = iy0[:, None] + dy[None, :]   # (N, K)
-    ix = ix0[:, None] + dx[None, :]
-    inb = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
-    flat = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
-
-    Wn = tgt.packed[flat]             # (N, K, 8) — the single gather
-    t_means = Wn[..., 0:2]
-    c00 = Wn[..., 2]
-    c01 = Wn[..., 3]
-    c11 = Wn[..., 4]
-    t_covs = jnp.stack(
-        [
-            jnp.stack([c00, c01], -1),
-            jnp.stack([c01, c11], -1),
-        ],
-        -2,
-    )
-    t_valid = (Wn[..., 5] > 0.5) & inb
-    return t_means, t_covs, t_valid
+    return gather_windows_flat(tgt.packed, h, w, iy0, ix0, n)
 
 
 def _apply_increment(d, T0):

@@ -152,29 +152,8 @@ def _pair_fgh(mu, Sig, m_rot, Crot, lfd1, lfd2):
     return s, g, H
 
 
-def fgh_dense(
-    d,
-    T0,
-    src: CellList,
-    tgt: DenseTarget,
-    map_params: NDTMapParams,
-    m: MatcherParams,
-):
-    """Analytic (score, grad, Hessian) of the dense D2D cost — exactly
-    ops.d2d.d2d_score_dense's value/derivatives in one pass."""
-    from ndt_feature_graph_tpu.ops.d2d import _apply_increment
-
-    from ndt_feature_graph_tpu.ops.d2d import gather_windows
-
-    T = _apply_increment(d, T0)
-    moved = src.transform(T)
-    n = m.n_neighbours
-
-    rel = (moved.means - tgt.origin) / map_params.resolution
-    ix0 = jnp.floor(rel[..., 0]).astype(jnp.int32)
-    iy0 = jnp.floor(rel[..., 1]).astype(jnp.int32)
-    t_means, t_covs, t_valid = gather_windows(tgt, iy0, ix0, n)
-
+def _fgh_reduce(d, moved, t_means, t_covs, t_valid, m: MatcherParams):
+    """Shared reduction: per-pair fgh over gathered windows, masked sum."""
     mu = moved.means[:, None, :] - t_means
     Sig = moved.covs[:, None, :, :] + t_covs
     m_rot = (moved.means - d[:2])[:, None, :]
@@ -196,6 +175,64 @@ def fgh_dense(
     grad = jnp.sum(g * okf[..., None], axis=(0, 1))
     hess = jnp.sum(H * okf[..., None, None], axis=(0, 1))
     return f, grad, hess
+
+
+def fgh_dense(
+    d,
+    T0,
+    src: CellList,
+    tgt: DenseTarget,
+    map_params: NDTMapParams,
+    m: MatcherParams,
+):
+    """Analytic (score, grad, Hessian) of the dense D2D cost — exactly
+    ops.d2d.d2d_score_dense's value/derivatives in one pass."""
+    from ndt_feature_graph_tpu.ops.d2d import _apply_increment, gather_windows
+
+    T = _apply_increment(d, T0)
+    moved = src.transform(T)
+    n = m.n_neighbours
+
+    rel = (moved.means - tgt.origin) / map_params.resolution
+    ix0 = jnp.floor(rel[..., 0]).astype(jnp.int32)
+    iy0 = jnp.floor(rel[..., 1]).astype(jnp.int32)
+    t_means, t_covs, t_valid = gather_windows(tgt, iy0, ix0, n)
+    return _fgh_reduce(d, moved, t_means, t_covs, t_valid, m)
+
+
+def fgh_dense_flat(
+    d,
+    T0,
+    src: CellList,
+    packed_flat,
+    origin,
+    row_offset,
+    h: int,
+    w: int,
+    resolution: float,
+    m: MatcherParams,
+):
+    """fgh_dense against a target selected by `row_offset` out of a
+    FLAT packed bank (N*H*W, 8) — the batched-pair form: under vmap the
+    window gather indexes the shared bank directly instead of first
+    materializing a per-pair (H*W, 8) target copy (see
+    d2d.gather_windows_flat).  Numerically identical to fgh_dense on
+    the corresponding DenseTarget."""
+    from ndt_feature_graph_tpu.ops.d2d import (
+        _apply_increment, gather_windows_flat,
+    )
+
+    T = _apply_increment(d, T0)
+    moved = src.transform(T)
+    n = m.n_neighbours
+
+    rel = (moved.means - origin) / resolution
+    ix0 = jnp.floor(rel[..., 0]).astype(jnp.int32)
+    iy0 = jnp.floor(rel[..., 1]).astype(jnp.int32)
+    t_means, t_covs, t_valid = gather_windows_flat(
+        packed_flat, h, w, iy0, ix0, n, row_offset
+    )
+    return _fgh_reduce(d, moved, t_means, t_covs, t_valid, m)
 
 
 def fgh_paired(d, T0, src: CellList, tgt: CellList, m: MatcherParams):

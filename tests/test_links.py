@@ -120,3 +120,60 @@ def test_refine_then_score_separates_good_links():
     )
     assert keep.sum() >= 3
     assert (e1[keep] < 0.5).all(), e1[keep]
+
+
+def test_flat_bank_paths_match_per_node_paths():
+    """The flat-bank forms (fgh_dense_flat window gathers with row
+    offsets, _overlap_score_flat) must agree with the per-node
+    reference forms they replaced — same numbers, no per-pair grid
+    copies."""
+    from ndt_feature_graph_tpu.ops import d2d_analytic
+    from ndt_feature_graph_tpu.ops.ndt_map import CellList
+
+    slam = _nodes_and_truth(1)
+    nodes = node_mod.stack_nodes(slam.nodes)
+    n = len(slam.nodes)
+    assert n >= 3
+    mp = PARAMS.fuser.ndt
+    m = PARAMS.fuser.matcher
+    h, w = mp.grid_h, mp.grid_w
+    packed_flat = nodes.target.packed.reshape(-1, 8)
+    occ_flat = nodes.occ.reshape(-1)
+
+    rng = np.random.default_rng(0)
+    for ref_i, mov_i in ((0, 2), (1, n - 1), (n - 1, 0)):
+        ref = jax.tree.map(lambda x: x[ref_i], nodes)
+        mov = jax.tree.map(lambda x: x[mov_i], nodes)
+        T0 = jnp.asarray(
+            se2.sub(
+                jnp.asarray(slam.node_T[ref_i]),
+                jnp.asarray(slam.node_T[mov_i]),
+            )
+        ) + jnp.asarray(rng.normal(0, 0.05, 3).astype(np.float32))
+        d = jnp.asarray(rng.normal(0, 0.02, 3).astype(np.float32))
+
+        f0, g0, H0 = d2d_analytic.fgh_dense(
+            d, T0, mov.cells, ref.target, mp, m
+        )
+        src = CellList(
+            means=nodes.cells.means[mov_i],
+            covs=nodes.cells.covs[mov_i],
+            mask=nodes.cells.mask[mov_i],
+        )
+        f1, g1, H1 = d2d_analytic.fgh_dense_flat(
+            d, T0, src, packed_flat, nodes.target.origin[ref_i],
+            ref_i * (h * w), h, w, mp.resolution, m,
+        )
+        np.testing.assert_allclose(f0, f1, rtol=1e-6)
+        np.testing.assert_allclose(g0, g1, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(H0, H1, rtol=1e-5, atol=1e-5)
+
+        s0, nb0 = links_mod.occupancy_overlap_score(
+            ref, mov, T0, mp.resolution
+        )
+        s1, nb1 = links_mod._overlap_score_flat(
+            occ_flat, nodes.occ_origin,
+            jnp.int32(ref_i), jnp.int32(mov_i), T0, h, w, mp.resolution,
+        )
+        np.testing.assert_allclose(s0, s1, rtol=1e-6)
+        assert int(nb0) == int(nb1)
