@@ -282,12 +282,15 @@ def bench_offline(params, seq, reps=3):
     mov = jnp.asarray(reps_idx[:, 1])
     mask = jnp.ones(B, bool)
     p = sparams.fuser
+    budget = links_mod.source_cell_budget(stacked)
 
     def propose(key):
         ls = links_mod.compute_links_batch(
             p.features, p.ndt.resolution, stacked, ref, mov, mask, key
         )
-        ls = links_mod.refine_links_d2d(p.ndt, p.matcher, stacked, ls)
+        ls = links_mod.refine_links_d2d(
+            p.ndt, p.matcher, stacked, ls, src_budget=budget
+        )
         ls = links_mod.rescore_links(p.ndt.resolution, stacked, ls)
         # Scalar digest over every output buffer, read back (forcing).
         return jnp.sum(ls.T) + jnp.sum(ls.score) + jnp.sum(ls.cov)

@@ -18,6 +18,13 @@ sys.path.insert(
 )
 
 import jax
+
+# Persistent compile cache: the canonical-op-point executables cost
+# ~15 min of fresh compiles per process; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,10 +69,18 @@ def main():
         fuser=params,
         graph=GraphParams(new_node_transl_dist=0.25, max_nodes=64),
     )
-    slam = NDTFeatureGraphSLAM(sparams, seed=0)
-    slam.initialize(seq.gt[0], jnp.zeros(3), seq.ranges[0], seq.hit[0])
-    slam.run_sequence_device(seq.odom, seq.ranges, seq.hit)
-    slam.finalize_current_node()
+    cache = "/tmp/profile_offline_graph.npz"
+    if os.path.exists(cache):
+        slam = NDTFeatureGraphSLAM.load(cache, sparams)
+        print("(graph loaded from cache)", flush=True)
+    else:
+        slam = NDTFeatureGraphSLAM(sparams, seed=0)
+        slam.initialize(
+            seq.gt[0], jnp.zeros(3), seq.ranges[0], seq.hit[0]
+        )
+        slam.run_sequence_device(seq.odom, seq.ranges, seq.hit)
+        slam.finalize_current_node()
+        slam.save(cache)
     n = len(slam.nodes)
     stacked = node_mod.stack_nodes(slam.nodes)
     print(f"nodes: {n}", flush=True)
@@ -113,10 +128,13 @@ def main():
     print(f"propose:  {tp * 1e3:8.1f} ms  ({B / tp:7.1f} pairs/s)",
           flush=True)
 
+    budget = links_mod.source_cell_budget(stacked)
+    print(f"src budget: {budget}", flush=True)
+
     @jax.jit
     def refine(ls):
         out = links_mod.refine_links_d2d.__wrapped__(
-            p.ndt, p.matcher, stacked, ls
+            p.ndt, p.matcher, stacked, ls, src_budget=budget
         )
         return out, sum(
             jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(out)
@@ -132,6 +150,27 @@ def main():
     tr = median_time(rep_refine, reps)
     print(f"refine:   {tr * 1e3:8.1f} ms  ({B / tr:7.1f} pairs/s)",
           flush=True)
+
+    # Wider batch: does refine amortize further at 1024 pairs?
+    B4 = 1024
+    idx4 = np.resize(np.asarray(pairs, np.int32), (B4, 2))
+    ls4 = links_mod.compute_links_batch(
+        p.features, p.ndt.resolution, stacked,
+        jnp.asarray(idx4[:, 0]), jnp.asarray(idx4[:, 1]),
+        jnp.ones(B4, bool), jax.random.PRNGKey(9),
+    )
+    _, dg = refine(ls4)
+    float(dg)
+
+    def rep_refine4(k):
+        ls_k = ls4._replace(T=ls4.T + (k + 1) * 1e-5)
+        float(refine(ls_k)[1])
+
+    tr4 = median_time(rep_refine4, reps)
+    print(
+        f"refine B=1024: {tr4 * 1e3:8.1f} ms  ({B4 / tr4:7.1f} pairs/s)",
+        flush=True,
+    )
 
     @jax.jit
     def rescore(ls):

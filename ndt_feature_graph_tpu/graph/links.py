@@ -183,12 +183,15 @@ def compute_links_batch(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("map_params", "m"))
+@functools.partial(
+    jax.jit, static_argnames=("map_params", "m", "src_budget")
+)
 def refine_links_d2d(
     map_params: NDTMapParams,
     m: MatcherParams,
     nodes: NodeData,
     links: LinkSet,
+    src_budget: int = 0,
 ) -> LinkSet:
     """NDT D2D refinement of every link + covariance from the Hessian
     (updateLinksUsingNDTRegistration, ndt_feature_graph.cpp:260-345).
@@ -198,16 +201,24 @@ def refine_links_d2d(
     indexes the shared (N*H*W, 8) table with a per-pair row offset,
     instead of first materializing per-pair copies of whole target
     grids under vmap (~330 MB/evaluation at the canonical 256-pair
-    batch — the offline phase's dominant HBM traffic before round 4)."""
+    batch — the offline phase's dominant HBM traffic before round 4).
+
+    src_budget > 0 truncates each pair's source cell list to that many
+    leading rows.  CellLists are compacted (valid cells first), so any
+    budget >= the true max valid-cell count is EXACT — callers measure the
+    bank occupancy once and round up (slam._propose_links); the
+    measured canonical op point fills ~131/165 of the 1024 padded
+    slots, i.e. ~87% of the gather+pair math was masked padding."""
     h, w = map_params.grid_h, map_params.grid_w
     packed_flat = nodes.target.packed.reshape(-1, 8)
     origins = nodes.target.origin
+    nb = src_budget if src_budget > 0 else nodes.cells.means.shape[1]
 
     def one(ref_i, mov_i, T0):
         src = ndt_map.CellList(
-            means=nodes.cells.means[mov_i],
-            covs=nodes.cells.covs[mov_i],
-            mask=nodes.cells.mask[mov_i],
+            means=nodes.cells.means[mov_i, :nb],
+            covs=nodes.cells.covs[mov_i, :nb],
+            mask=nodes.cells.mask[mov_i, :nb],
         )
         origin = origins[ref_i]
         off = ref_i * (h * w)
@@ -252,6 +263,19 @@ def rescore_links(
 
     score = jax.vmap(one)(links.ref, links.mov, links.T)
     return links._replace(score=score)
+
+
+def source_cell_budget(nodes: NodeData, quantum: int = 64) -> int:
+    """EXACT static source-cell budget for refine_links_d2d: the bank's
+    max valid-cell count rounded up to `quantum` (bounds the number of
+    distinct compiled shapes), clamped to the padded capacity.  One
+    small host readback per offline phase."""
+    import numpy as np
+
+    cap = int(nodes.cells.means.shape[1])
+    maxc = int(np.asarray(jnp.max(jnp.sum(nodes.cells.mask, axis=1))))
+    b = max(quantum, ((maxc + quantum - 1) // quantum) * quantum)
+    return min(b, cap)
 
 
 @functools.partial(jax.jit, static_argnames=("gp",))

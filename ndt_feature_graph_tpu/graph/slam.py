@@ -383,7 +383,8 @@ class NDTFeatureGraphSLAM:
             self._split_key(),
         )
         link_set = links_mod.refine_links_d2d(
-            p.ndt, p.matcher, stacked, link_set
+            p.ndt, p.matcher, stacked, link_set,
+            src_budget=links_mod.source_cell_budget(stacked),
         )
         link_set = links_mod.rescore_links(
             p.ndt.resolution, stacked, link_set
@@ -522,6 +523,7 @@ class NDTFeatureGraphSLAM:
         otherwise one batch over all pairs."""
         p = self.params.fuser
         gp = self.params.graph
+        budget = links_mod.source_cell_budget(stacked)
 
         def run(ref_c, mov_c, mask_c):
             ls = links_mod.compute_links_batch(
@@ -529,7 +531,7 @@ class NDTFeatureGraphSLAM:
                 mask_c, self._split_key(),
             )
             ls = links_mod.refine_links_d2d(
-                p.ndt, p.matcher, stacked, ls
+                p.ndt, p.matcher, stacked, ls, src_budget=budget
             )
             return links_mod.rescore_links(
                 p.ndt.resolution, stacked, ls

@@ -60,20 +60,25 @@ def compute_links_sharded(
 
         return jax.vmap(one)(ref, mov, ks)
 
+    # global_put (not device_put): works when the mesh spans processes
+    # (the 2-process (dcn, ici) layout of tests/test_multihost.py).
     nodes_rep = jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P())), nodes
+        lambda x: mesh_mod.global_put(mesh, x, P()), nodes
     )
-    shard = lambda x: jax.device_put(x, NamedSharding(mesh, P(axis)))
+    shard = lambda x: mesh_mod.global_put(mesh, x, P(axis))
     T, score, valid = run(
         nodes_rep, shard(pair_ref), shard(pair_mov), shard(pair_mask),
         shard(keys),
     )
     eye = jnp.tile(jnp.eye(3)[None] * 0.05, (p_tot, 1, 1))
+    # Combine under jit: eager ops on multi-process global arrays are
+    # not allowed; jit handles both the single- and multi-process case.
+    mask = jax.jit(jnp.logical_and)(shard(pair_mask), valid)
     return links_mod.LinkSet(
         ref=pair_ref,
         mov=pair_mov,
         T=T,
         cov=eye,
         score=score,
-        mask=pair_mask & valid,
+        mask=mask,
     )

@@ -102,3 +102,28 @@ def replicated(mesh, x):
 
 def sharded(mesh, x, axis="dp"):
     return jax.device_put(x, NamedSharding(mesh, P(axis)))
+
+
+def global_put(mesh, x, spec):
+    """device_put onto a (possibly multi-PROCESS) mesh: every process
+    passes the identical full array and contributes its addressable
+    shards (jax.make_array_from_callback) — a plain device_put cannot
+    target non-addressable devices.  Single-process behavior is
+    identical to device_put(NamedSharding(mesh, spec))."""
+    import numpy as np
+
+    x = np.asarray(x)
+    sh = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+
+def global_get(mesh, x):
+    """Full value of a global array on every process: reshard to
+    replicated over the mesh (an all-gather), read the local copy."""
+    import numpy as np
+
+    rep = jax.jit(
+        lambda a: a,
+        out_shardings=NamedSharding(mesh, P()),
+    )(x)
+    return np.asarray(rep.addressable_shards[0].data)
