@@ -88,7 +88,20 @@ class MatcherParams:
     use_feat: bool = True
     use_odom: bool = True             # soft-constraint Mahalanobis prior
     tikhonov: bool = False
-    cov_scale: float = 1.0            # scale on inv-Hessian pose covariance
+    # Scale on the inverse-Hessian pose covariance (cov_from_hessian).
+    # FITTED against Monte-Carlo re-registration spread at lidar-class
+    # observation noise sigma = 0.03 m (geometric mean of MC/Hessian
+    # diagonal ratios over 3 worlds x 96 trials = 0.59; with 0.6 every
+    # measured ratio falls within 2x — tests/test_link_covariance.py).
+    # CAVEAT: the NDT score Hessian is nearly noise-BLIND (curvature is
+    # set by map structure/cell quantization, not sigma), while the
+    # true estimator spread scales ~sigma^2 — measured ratios move
+    # ~0.1 -> ~0.6 -> ~2 across sigma 0.01/0.03/0.06.  The fit is
+    # calibrated AT 0.03; a sensor much cleaner/noisier than that
+    # should rescale (the principled extension is the M-estimator
+    # sandwich H^-1 J H^-1).  Solver safety never rests on this:
+    # spd_info_np floors + link_info_eps cap the information.
+    cov_scale: float = 0.6
     use_pallas: bool = False          # fused Pallas pair-derivative kernel
                                       # (ops/pallas_kernels.py) instead of
                                       # the XLA-fused analytic path.
@@ -179,6 +192,16 @@ class FuserParams:
     # in the reference's shipped configs, gustav_laser_tf.launch:47).
     rolling_map: bool = False
     roll_margin: float = 10.0
+    # Static cell budget for the MATCHER's source cell list (the
+    # per-scan local NDT): when > 0, registration uses only the first
+    # `match_cell_budget` rows of the compacted CellList.  EXACT
+    # whenever the scan's valid-cell count stays within the budget
+    # (compaction puts valid cells first) — the padded max_cells
+    # capacity is a safety bound, and at the canonical op point scans
+    # fill ~10-20% of it, so the window gather (the per-scan hot cost)
+    # was mostly masked padding.  bench.py verifies no scan exceeds
+    # the budget before using it (honesty gate).  0 = full capacity.
+    match_cell_budget: int = 0
 
     replace = _replace
 

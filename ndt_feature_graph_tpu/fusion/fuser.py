@@ -133,6 +133,13 @@ def update(
     Todom = se2.compose(state.Todom, Tmotion)
 
     src, _ = _build_local_cells(params, state.sensor_pose, pts, mask)
+    nb = params.match_cell_budget
+    if nb and nb < src.means.shape[0]:
+        # Exact when the scan's valid cells fit the budget (compacted
+        # list, valid-first); see config.FuserParams.match_cell_budget.
+        src = CellList(
+            means=src.means[:nb], covs=src.covs[:nb], mask=src.mask[:nb]
+        )
     tgt = d2d.make_dense_target(state.grid, params.ndt)
     lp = local_map_params(params)
 

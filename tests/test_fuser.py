@@ -163,3 +163,47 @@ def test_rolling_map_tracks_beyond_window():
     est2, state2, _ = run_sequence(seq, params=fixed)
     err2 = ate(est2, gt)
     assert err2 > err, (err, err2)
+
+
+def test_match_cell_budget_exact_when_cells_fit():
+    """match_cell_budget >= the scan's valid-cell count must be EXACT:
+    identical pose, score, and map to the unbudgeted matcher (the
+    compacted CellList puts valid cells first; the budget only strips
+    masked padding)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ndt_feature_graph_tpu.io import dataset
+
+    params = PARAMS
+    traj = dataset.loop_trajectory(6, radius=4.0)
+    seq = dataset.simulate_sequence(
+        jax.random.PRNGKey(11), traj, num_beams=360,
+        max_range=params.ndt.sensor_range,
+    )
+    pts0, m0 = dataset.scan_to_points(seq.ranges[0], seq.hit[0])
+    counts = []
+    for t in range(1, 6):
+        pts, m = dataset.scan_to_points(seq.ranges[t], seq.hit[t])
+        src, _ = fuser._build_local_cells(params, jnp.zeros(3), pts, m)
+        counts.append(int(jnp.sum(src.mask)))
+    budget = 64 * ((max(counts) + 63) // 64)
+    assert budget < params.ndt.max_cells, "scene too dense for the test"
+
+    pb = params.replace(match_cell_budget=budget)
+    s_full = fuser.initialize(params, seq.gt[0], jnp.zeros(3), pts0, m0)
+    s_bud = fuser.initialize(pb, seq.gt[0], jnp.zeros(3), pts0, m0)
+    for t in range(1, 6):
+        pts, m = dataset.scan_to_points(seq.ranges[t], seq.hit[t])
+        s_full, i_full = fuser.update(s_full, params, seq.odom[t], pts, m)
+        s_bud, i_bud = fuser.update(s_bud, pb, seq.odom[t], pts, m)
+        np.testing.assert_array_equal(
+            np.asarray(s_full.Tnow), np.asarray(s_bud.Tnow)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(i_full.score), np.asarray(i_bud.score)
+        )
+    np.testing.assert_array_equal(
+        np.asarray(s_full.grid.count), np.asarray(s_bud.grid.count)
+    )

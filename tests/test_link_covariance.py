@@ -98,14 +98,15 @@ def test_hessian_covariance_tracks_monte_carlo():
     assert (w > 0).all(), w
     assert w.max() <= 1.01e6  # eps=1e-6 floor caps the information
 
-    # (b) scale agreement on the position block within 10x either way
-    # (the Hessian of the NDT score is not a log-likelihood; the
-    # default cov_scale makes it track the empirical covariance at
-    # lidar-class noise — record the measured ratios).
-    ratios = np.diag(mc_cov)[:2] / np.diag(h_cov)[:2]
-    print(f"MC/Hessian covariance diag ratios (x, y, th): "
-          f"{np.diag(mc_cov) / np.diag(h_cov)}")
-    assert (ratios > 0.1).all() and (ratios < 10.0).all(), ratios
+    # (b) CALIBRATED scale agreement: cov_scale (config.MatcherParams)
+    # is fitted so the Hessian covariance tracks the Monte-Carlo spread
+    # at this noise level (sigma = 0.03, lidar-class) — every diagonal
+    # ratio must fall within 3x (measured spread across worlds at the
+    # fitted scale is within 2x; see test_covariance_calibration_fit
+    # for the multi-world check and the sigma^2 caveat).
+    ratios = np.diag(mc_cov) / np.diag(h_cov)
+    print(f"MC/Hessian covariance diag ratios (x, y, th): {ratios}")
+    assert (ratios > 1 / 3.0).all() and (ratios < 3.0).all(), ratios
 
     # (c) anisotropy: both agree on which translational direction is
     # better constrained (within noise, allow ties up to 1.5x).
@@ -114,6 +115,63 @@ def test_hessian_covariance_tracks_monte_carlo():
     assert (mc_ratio - 1) * (h_ratio - 1) > 0 or (
         0.66 < mc_ratio < 1.5
     ), (mc_ratio, h_ratio)
+
+
+def test_covariance_calibration_fit():
+    """Multi-world calibration check at the fitted noise level AND the
+    documented limitation: the NDT score Hessian is nearly noise-BLIND
+    (its curvature is set by map structure / cell quantization), while
+    the true estimator spread scales ~sigma^2.  Measured MC/Hessian
+    ratios move ~0.1 -> ~0.6 -> ~2 across sigma 0.01/0.03/0.06
+    (cov_scale=1); the fitted cov_scale=0.6 therefore calibrates AT
+    sigma=0.03 — asserted within 3x across worlds here — and the
+    sigma-dependence is pinned by asserting the 0.01-noise ratio sits
+    well BELOW the 0.03 one (if this ever fails, the Hessian has
+    become noise-aware and the fit should be revisited)."""
+    sigma = 0.03
+    ratio_mid = []
+    ratio_low = None
+    for seed in (5, 9):
+        pts = make_world(jax.random.PRNGKey(seed))
+        mask = jnp.ones(len(pts), bool)
+        grid = ndt_map.build_from_scan(
+            MAP, jnp.zeros(2), jnp.zeros(2), pts, mask
+        )
+        tgt = d2d.make_dense_target(grid, MAP)
+
+        def mc_ratio(sig, n=64):
+            @jax.jit
+            def register(key):
+                noisy = pts + sig * jax.random.normal(key, pts.shape)
+                g = ndt_map.build_from_scan(
+                    MAP, jnp.zeros(2), jnp.zeros(2), noisy, mask
+                )
+                src = ndt_map.to_cell_list(g, MAP)
+                res = d2d.match_d2d.__wrapped__(
+                    tgt, src, jnp.zeros(3), MAP, MATCH
+                )
+                return res.T, res.converged
+
+            keys = jax.random.split(jax.random.PRNGKey(seed + 100), n)
+            Ts, conv = jax.vmap(register)(keys)
+            Ts = np.asarray(Ts)[np.asarray(conv)]
+            mc = np.cov(Ts.T)
+            src0 = ndt_map.to_cell_list(grid, MAP)
+            h = np.asarray(
+                d2d.covariance_d2d(tgt, src0, jnp.zeros(3), MAP, MATCH)
+            )
+            return np.diag(mc) / np.diag(h)
+
+        r = mc_ratio(sigma)
+        ratio_mid.append(r)
+        assert (r > 1 / 3.0).all() and (r < 3.0).all(), (seed, r)
+        if ratio_low is None:
+            ratio_low = mc_ratio(0.01)
+    # sigma^2 dependence: cleaner sensor -> materially smaller spread
+    # for the same Hessian (the documented limitation).
+    assert np.median(ratio_low) < 0.5 * np.median(
+        np.concatenate(ratio_mid)
+    ), (ratio_low, ratio_mid)
 
 
 def test_spd_info_repairs_indefinite_covariance():
