@@ -41,13 +41,23 @@ def local_map_params(p: FuserParams) -> NDTMapParams:
 
 
 class FuserState(NamedTuple):
-    """Per-submap fuser state pytree."""
+    """Per-submap fuser state pytree.
+
+    `packed` is the (H*W, 8) channel-packed registration target
+    (d2d.DenseTarget.packed layout) maintained INCREMENTALLY: after a
+    scan's points are scattered into `grid`, only the touched cells'
+    rows are re-finalized (d2d.refresh_packed) instead of re-finalizing
+    all H*W cells every scan — the full-grid make_dense_target was
+    measured at ~3.6 ms/stream/scan on the real chip, the single
+    largest stage of the batched update (examples/profile_fleet.py).
+    Invariant: packed == d2d.packed_from_grid(grid) at all times."""
 
     Tnow: jnp.ndarray        # (3,) vehicle pose in submap/world frame
     Todom: jnp.ndarray       # (3,) dead-reckoning pose (diagnostics)
     Tlast_fuse: jnp.ndarray  # (3,)
     sensor_pose: jnp.ndarray  # (3,) laser in vehicle frame
     grid: NDTGrid            # the submap
+    packed: jnp.ndarray      # (H*W, 8) incremental registration target
     n_updates: jnp.ndarray   # int32
 
 
@@ -82,6 +92,7 @@ def initialize(
         Tlast_fuse=jnp.asarray(init_pose, jnp.float32),
         sensor_pose=jnp.asarray(sensor_pose, jnp.float32),
         grid=grid,
+        packed=d2d.packed_from_grid(grid, params.ndt),
         n_updates=jnp.int32(1),
     )
 
@@ -140,8 +151,13 @@ def update(
         src = CellList(
             means=src.means[:nb], covs=src.covs[:nb], mask=src.mask[:nb]
         )
-    tgt = d2d.make_dense_target(state.grid, params.ndt)
-    lp = local_map_params(params)
+    # Registration target: the state's incrementally-maintained packed
+    # table (== make_dense_target(grid).packed at all times) read via
+    # the flat-gather kernels — no per-scan full-grid re-finalize.
+    h, w = params.ndt.grid_h, params.ndt.grid_w
+    res = params.ndt.resolution
+    tgt_packed = state.packed
+    tgt_origin = state.grid.origin
 
     Q = _increment_information(params, Tmotion, T_pred)
 
@@ -152,7 +168,9 @@ def update(
     def score_fn(d):
         s = jnp.float32(0.0)
         if m.use_ndt:
-            s = s + d2d.d2d_score_dense(d, T_pred, src, tgt, lp, m)
+            s = s + d2d.d2d_score_dense_flat(
+                d, T_pred, src, tgt_packed, tgt_origin, 0, h, w, res, m
+            )
         if use_feat:
             s = s + d2d.d2d_score_paired(d, T_pred, feat_src, feat_tgt, m)
         if m.use_odom:
@@ -167,8 +185,8 @@ def update(
         g = jnp.zeros(3)
         H = jnp.zeros((3, 3))
         if m.use_ndt:
-            f1, g1, H1 = d2d_analytic.fgh_dense(
-                d, T_pred, src, tgt, lp, m
+            f1, g1, H1 = d2d_analytic.fgh_dense_flat(
+                d, T_pred, src, tgt_packed, tgt_origin, 0, h, w, res, m
             )
             f, g, H = f + f1, g + g1, H + H1
         if use_feat:
@@ -184,6 +202,20 @@ def update(
     d, score, itr, conv = d2d.newton_match(
         score_fn, jnp.zeros(3), m, fgh_fn=fgh_fn
     )
+    return _finalize_update(
+        state, params, Tmotion, T_pred, Todom, d, score, itr, conv,
+        pts, mask, update_map,
+    )
+
+
+def _finalize_update(
+    state: FuserState, params: FuserParams, Tmotion, T_pred, Todom,
+    d, score, itr, conv, pts, mask, update_map: bool,
+):
+    """Post-registration tail of `update` (consistency gate, rolling
+    recentre, map update + incremental packed refresh, bookkeeping) —
+    shared by the single-stream path and the batched fleet path
+    (update_batch vmaps it)."""
     T_est = se2.compose(
         jnp.stack([d[0], d[1], d[2]]), T_pred
     )
@@ -206,8 +238,11 @@ def update(
     # Rolling-map recentre (NDTMapHMT window follow): if the vehicle
     # left the margin, slide the window onto it by whole cells.  The
     # shift is zeroed (exact no-op) while inside the margin, so this
-    # stays a single traced program.
+    # stays a single traced program.  The packed registration target
+    # rolls in lockstep (rows follow their cells; exposed rows get the
+    # empty-cell pack).
     grid = state.grid
+    packed = state.packed
     if params.rolling_map:
         center = grid.origin + jnp.asarray(
             [params.ndt.size_x / 2.0, params.ndt.size_y / 2.0],
@@ -217,13 +252,19 @@ def update(
         target = jnp.where(
             jnp.linalg.norm(off) > params.roll_margin, Tnow[:2], center
         )
-        grid = ndt_map.recenter(grid, params.ndt, target)
+        grid, packed = ndt_map.recenter_with_aux(
+            grid, params.ndt, target, packed, d2d.empty_pack_row()
+        )
 
-    # Map update (fuser_hmt.cpp:482-487).
+    # Map update (fuser_hmt.cpp:482-487) + incremental refresh of the
+    # touched cells' packed rows.
     if update_map:
         world_T = se2.compose(Tnow, state.sensor_pose)
         world_pts = se2.transform_points(world_T, pts)
-        grid = ndt_map.add_points(grid, params.ndt, world_pts, mask)
+        grid, touched = ndt_map.add_points_touched(
+            grid, params.ndt, world_pts, mask
+        )
+        packed = d2d.refresh_packed(packed, grid, params.ndt, touched)
         grid = ndt_map.update_occupancy(
             grid, params.ndt, world_T[:2], world_pts, mask
         )
@@ -240,6 +281,7 @@ def update(
         Tlast_fuse=Tlast_fuse,
         sensor_pose=state.sensor_pose,
         grid=grid,
+        packed=packed,
         n_updates=state.n_updates + 1,
     )
     info = UpdateInfo(
@@ -250,3 +292,101 @@ def update(
         T_est=T_est,
     )
     return new_state, info
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "update_map")
+)
+def update_batch(
+    states: FuserState,   # batched (B, ...) pytree
+    params: FuserParams,
+    Tmotion,              # (B, 3)
+    pts,                  # (B, P, 2)
+    mask,                 # (B, P)
+    update_map: bool = True,
+):
+    """One scan update for B independent streams (fleet serving) —
+    semantically vmap(update) for the NDT+odometry path, but the
+    registration gathers index ONE flat (B*H*W, 8) packed table with
+    per-stream row offsets instead of vmapping over per-stream tables.
+
+    Why: a vmapped gather whose OPERAND carries the batch dim lowers
+    terribly on TPU — measured round 4 (examples/profile_fleet.py),
+    the newton stage alone cost 7.35 ms/stream at B=128 (941 ms/step),
+    making fleet throughput FLAT in B (bench.py r4 first run: 124-140
+    aggregate scans/s at B in {8,32,128} vs 174 single-stream).
+    Indexing a shared flat table with `row_offset = i*H*W` is the same
+    fix that took offline pair registration 4x (graph/links.py
+    refine_links_d2d flat-bank form).
+
+    Feature pseudo-cell pairs are not supported here (the fleet driver
+    is the NDT-only pipeline); use vmap(update) if you need them.
+
+    Returns (new_states, infos) batched like the inputs.
+    """
+    m = params.matcher
+    h, w = params.ndt.grid_h, params.ndt.grid_w
+    res = params.ndt.resolution
+    b = states.Tnow.shape[0]
+
+    T_pred = jax.vmap(se2.compose)(states.Tnow, Tmotion)
+    Todom = jax.vmap(se2.compose)(states.Todom, Tmotion)
+
+    def build_src(sp, p, mk):
+        src, _ = _build_local_cells(params, sp, p, mk)
+        nb = params.match_cell_budget
+        if nb and nb < src.means.shape[0]:
+            src = CellList(
+                means=src.means[:nb], covs=src.covs[:nb],
+                mask=src.mask[:nb],
+            )
+        return src
+
+    src_b = jax.vmap(build_src)(states.sensor_pose, pts, mask)
+    Q_b = jax.vmap(
+        lambda tm, tp: _increment_information(params, tm, tp)
+    )(Tmotion, T_pred)
+
+    # ONE flat WIN-ROW bank shared by every lane's window gather; the
+    # batch-level Newton issues that gather with flattened 1-D indices
+    # (no vmap batching dims — see fgh_dense_flat_batch), and the
+    # win-row layout needs (2n+1) gather rows per source cell instead
+    # of (2n+1)^2 (the gather is row-transaction-bound; see
+    # d2d.build_wide_table).  Derived fresh each step from the
+    # incrementally-maintained packed table — pure slicing, recentre-
+    # safe, ~2 ms/step at B=128 vs the ~350 ms/step it saves.
+    wide = d2d.build_wide_table(
+        states.packed, h, w, m.n_neighbours
+    )
+    wide_flat = wide.reshape(b * h * w, wide.shape[-1])
+    origins = states.grid.origin                      # (B, 2)
+    row_offsets = jnp.arange(b, dtype=jnp.int32) * (h * w)
+    Qs_b = Q_b + Q_b.transpose(0, 2, 1)
+
+    def fgh_batch(d_b):
+        f = jnp.zeros(b, jnp.float32)
+        g = jnp.zeros((b, 3), jnp.float32)
+        H = jnp.zeros((b, 3, 3), jnp.float32)
+        if m.use_ndt:
+            f1, g1, H1 = d2d_analytic.fgh_dense_wide_batch(
+                d_b, T_pred, src_b, wide_flat, origins,
+                row_offsets, h, w, res, m,
+            )
+            f, g, H = f + f1, g + g1, H + H1
+        if m.use_odom:
+            # Batched fgh_mahalanobis: d^T Q d, (Q+Q^T) d, Q+Q^T.
+            f = f + jnp.einsum("bi,bij,bj->b", d_b, Q_b, d_b)
+            g = g + jnp.einsum("bij,bj->bi", Qs_b, d_b)
+            H = H + Qs_b
+        return f, g, H
+
+    d_b, score_b, itr_b, conv_b = d2d.newton_match_batch(
+        jnp.zeros((b, 3), jnp.float32), m, fgh_batch
+    )
+
+    return jax.vmap(
+        lambda st, tm, tp, to, d, s, it, cv, p, mk: _finalize_update(
+            st, params, tm, tp, to, d, s, it, cv, p, mk, update_map
+        )
+    )(states, Tmotion, T_pred, Todom, d_b, score_b, itr_b, conv_b,
+      pts, mask)

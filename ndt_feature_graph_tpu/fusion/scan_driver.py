@@ -370,11 +370,24 @@ def run_sequence_batch(params: FuserParams, states, odom, pts, mask):
     states: batched FuserState (B, ...); odom: (B, T, 3);
     pts: (B, T, P, 2); mask: (B, T, P).
     Returns (final_states, trajectories (B, T, 3), scores (B, T)).
+
+    The scan steps through fuser.update_batch — per scan, every
+    stream's registration gathers index ONE flat (B*H*W, 8) packed
+    bank with per-stream row offsets.  The previous vmap(run_sequence)
+    formulation batched the gather OPERAND, which lowers to per-lane
+    relayouts on TPU and made fleet throughput flat in B (measured
+    round 4, examples/profile_fleet.py / BENCH_NOTES.md).
     """
 
-    def one(state, odom_i, pts_i, mask_i):
-        return run_sequence.__wrapped__(
-            params, state, odom_i, pts_i, mask_i
+    def body(sts, x):
+        tm, p, mk = x
+        ns, info = fuser.update_batch.__wrapped__(
+            sts, params, tm, p, mk
         )
+        return ns, (ns.Tnow, info.score)
 
-    return jax.vmap(one)(states, odom, pts, mask)
+    finals, (traj, scores) = jax.lax.scan(
+        body, states,
+        (odom.swapaxes(0, 1), pts.swapaxes(0, 1), mask.swapaxes(0, 1)),
+    )
+    return finals, traj.swapaxes(0, 1), scores.swapaxes(0, 1)

@@ -208,41 +208,46 @@ def refine_links_d2d(
     budget >= the true max valid-cell count is EXACT — callers measure the
     bank occupancy once and round up (slam._propose_links); the
     measured canonical op point fills ~131/165 of the 1024 padded
-    slots, i.e. ~87% of the gather+pair math was masked padding."""
+    slots, i.e. ~87% of the gather+pair math was masked padding.
+
+    The Newton runs as ONE batch-level minimization
+    (d2d.newton_match_batch + fgh_dense_flat_batch): all P pairs'
+    window gathers are issued with flattened 1-D indices in a single
+    gather per trial, and the lockstep trial loop early-exits when
+    EVERY pair has converged — where vmap(newton_match)'s per-lane
+    cond degrades to masked execution of the full 60-trial budget for
+    every pair (round 4; same formulation as the fleet path,
+    fusion/fuser.update_batch)."""
     h, w = map_params.grid_h, map_params.grid_w
     packed_flat = nodes.target.packed.reshape(-1, 8)
-    origins = nodes.target.origin
     nb = src_budget if src_budget > 0 else nodes.cells.means.shape[1]
 
-    def one(ref_i, mov_i, T0):
-        src = ndt_map.CellList(
-            means=nodes.cells.means[mov_i, :nb],
-            covs=nodes.cells.covs[mov_i, :nb],
-            mask=nodes.cells.mask[mov_i, :nb],
+    src_b = ndt_map.CellList(
+        means=nodes.cells.means[links.mov, :nb],
+        covs=nodes.cells.covs[links.mov, :nb],
+        mask=nodes.cells.mask[links.mov, :nb],
+    )
+    origins = nodes.target.origin[links.ref]
+    row_offsets = links.ref * (h * w)
+
+    def fgh_batch(d_b):
+        return d2d_analytic.fgh_dense_flat_batch(
+            d_b, links.T, src_b, packed_flat, origins, row_offsets,
+            h, w, map_params.resolution, m,
         )
-        origin = origins[ref_i]
-        off = ref_i * (h * w)
 
-        def fgh_fn(d):
-            return d2d_analytic.fgh_dense_flat(
-                d, T0, src, packed_flat, origin, off, h, w,
-                map_params.resolution, m,
-            )
-
-        d, score, itr, conv = d2d.newton_match(
-            None, jnp.zeros(3), m, fgh_fn
-        )
-        T = se2.compose(d, T0)
-        _, _, H = fgh_fn(d)
-        # One covariance convention repo-wide (d2d.cov_from_hessian:
-        # cov_scale * floored-inverse-Hessian, symmetrized) — this used
-        # to inline its own floor/scale, leaving the solver's relative
-        # link-vs-odometry weighting to depend on which code path
-        # produced the link (VERDICT r2 weak #5).
-        cov = d2d.cov_from_hessian(H, m)
-        return T, cov, conv
-
-    T, cov, conv = jax.vmap(one)(links.ref, links.mov, links.T)
+    p_count = links.ref.shape[0]
+    d_b, score_b, itr_b, conv = d2d.newton_match_batch(
+        jnp.zeros((p_count, 3), jnp.float32), m, fgh_batch
+    )
+    T = jax.vmap(se2.compose)(d_b, links.T)
+    _, _, H_b = fgh_batch(d_b)
+    # One covariance convention repo-wide (d2d.cov_from_hessian:
+    # cov_scale * floored-inverse-Hessian, symmetrized) — this used
+    # to inline its own floor/scale, leaving the solver's relative
+    # link-vs-odometry weighting to depend on which code path
+    # produced the link (VERDICT r2 weak #5).
+    cov = jax.vmap(lambda H: d2d.cov_from_hessian(H, m))(H_b)
     return links._replace(T=T, cov=cov, mask=links.mask & conv)
 
 

@@ -129,9 +129,22 @@ def freeze_node(
     )
 
 
-def stack_nodes(nodes: list) -> NodeData:
-    """Stack a host-side node list into (N, ...) batched NodeData."""
+def _stack_nodes_jit(*nodes):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *nodes)
+
+
+_stack_nodes_jit = jax.jit(_stack_nodes_jit)
+
+
+def stack_nodes(nodes: list) -> NodeData:
+    """Stack a host-side node list into (N, ...) batched NodeData.
+
+    ONE jitted dispatch (compiled per node count): the eager tree.map
+    form paid one device op per leaf (~17), and through the TPU tunnel
+    every eager op costs ~10-20 ms — ~0.3 s per online-loop-closure
+    proposal before this (the LC candidate stack has a static C+1
+    size, so it compiles once)."""
+    return _stack_nodes_jit(*nodes)
 
 
 def empty_node(params: FuserParams, fm_capacity: int) -> NodeData:

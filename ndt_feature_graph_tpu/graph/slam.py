@@ -51,6 +51,22 @@ def _split_math(p: FuserParams, link_source: str, current_T, base, fmap):
 
 
 @jax.jit
+def _pack_link_outputs(link_set):
+    """Pack a LinkSet's host-consumed fields (T, cov, score, mask) into
+    one (C, 14) array so the orchestrator pays a single tunnel
+    readback per proposal instead of four."""
+    return jnp.concatenate(
+        [
+            link_set.T,
+            link_set.cov.reshape(link_set.cov.shape[0], 9),
+            link_set.score[:, None],
+            link_set.mask[:, None].astype(jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+@jax.jit
 def _accumulate_math(fmap, prev_feats, prev_desc, Tnow, sensor_pose):
     """Feature-map insert incl. the node-frame pose compose, one
     executable (was one eager compose + one dispatch)."""
@@ -391,11 +407,14 @@ class NDTFeatureGraphSLAM:
         )
 
         # Host-side validation against the current global estimates
-        # (getValidLinks gates, ndt_feature_graph.cpp:527-556).
-        T = np.asarray(link_set.T)
-        cov = np.asarray(link_set.cov)
-        score = np.asarray(link_set.score)
-        ok = np.asarray(link_set.mask)
+        # (getValidLinks gates, ndt_feature_graph.cpp:527-556).  ONE
+        # packed readback — separate np.asarray pulls of T/cov/score/
+        # mask cost ~4 tunnel round trips (~30 ms each) per proposal.
+        packed = np.asarray(_pack_link_outputs(link_set))
+        T = packed[:, :3]
+        cov = packed[:, 3:12].reshape(-1, 3, 3)
+        score = packed[:, 12]
+        ok = packed[:, 13] > 0.5
         accepted = False
         for m, i in enumerate(cand_idx):
             if not ok[m] or score[m] > gp.valid_max_score:

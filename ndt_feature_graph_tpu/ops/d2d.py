@@ -83,6 +83,62 @@ def make_dense_target(grid: ndt_map.NDTGrid, params: NDTMapParams) -> DenseTarge
     )
 
 
+def pack_rows(mean, cov, valid):
+    """Channel-pack per-cell fields with ANY leading shape into packed
+    rows (..., 8) — the row form of `_pack_fields` (same channel
+    order)."""
+    z = jnp.zeros(valid.shape, jnp.float32)
+    return jnp.stack(
+        [
+            mean[..., 0], mean[..., 1],
+            cov[..., 0, 0], cov[..., 0, 1], cov[..., 1, 1],
+            valid.astype(jnp.float32), z, z,
+        ],
+        -1,
+    )
+
+
+def empty_pack_row(dtype=jnp.float32):
+    """The packed row of a never-observed cell — exactly what
+    finalize_stats produces for zero statistics (mean 0, conditioned
+    cov replaced by eye*1e-3, valid False)."""
+    return jnp.asarray([0.0, 0.0, 1e-3, 0.0, 1e-3, 0.0, 0.0, 0.0], dtype)
+
+
+def packed_from_grid(grid: ndt_map.NDTGrid, params: NDTMapParams):
+    """Full (H*W, 8) packed table from a grid (initialization /
+    verification; the per-scan path refreshes rows incrementally)."""
+    return _pack_fields(*ndt_map.finalize(grid, params))
+
+
+def refresh_packed(packed, grid: ndt_map.NDTGrid, params: NDTMapParams,
+                   flat_idx):
+    """Incrementally refresh the packed registration target after a
+    scan's points were scattered into `grid`.
+
+    `flat_idx` (P,) are the touched flat cell indices from
+    ndt_map.add_points_touched (sentinel h*w = dropped point).  Only
+    those cells' sufficient statistics changed, so only their packed
+    rows are re-finalized (gather P rows -> finalize_stats -> scatter
+    back) — the full-grid make_dense_target re-finalize was measured at
+    ~3.6 ms/stream/scan on the real chip (the single largest stage of
+    the batched fuser update, examples/profile_fleet.py round 4);
+    refreshing <=P rows is ~50x less work.  Duplicate indices write
+    identical rows — scatter-set is deterministic here.
+
+    Invariant: packed == packed_from_grid(grid, params) to f32 ulp
+    tolerance after every update (tests/test_fuser.py::
+    test_incremental_packed_matches_full_refinalize)."""
+    h, w = params.grid_h, params.grid_w
+    fi = jnp.minimum(flat_idx, h * w - 1)          # clamp sentinel reads
+    n = grid.count.reshape(-1)[fi]
+    ps = grid.psum.reshape(-1, 2)[fi]
+    op = grid.outer.reshape(-1, 2, 2)[fi]
+    mean, cov, valid = ndt_map.finalize_stats(n, ps, op, params)
+    rows = pack_rows(mean, cov, valid)
+    return packed.at[flat_idx].set(rows, mode="drop")
+
+
 def gather_windows_flat(
     packed_flat, h: int, w: int, iy0, ix0, n: int, row_offset=0
 ):
@@ -185,6 +241,31 @@ def d2d_score_dense(
     iy0 = jnp.floor(rel[..., 1]).astype(jnp.int32)
     t_means, t_covs, t_valid = gather_windows(tgt, iy0, ix0, n)
 
+    mu_d = moved.means[:, None, :] - t_means
+    cov_sum = moved.covs[:, None, :, :] + t_covs
+    s = pair_score(mu_d, cov_sum, m.lfd1, m.lfd2)
+    ok = t_valid & moved.mask[:, None]
+    return jnp.sum(jnp.where(ok, s, 0.0))
+
+
+def d2d_score_dense_flat(
+    d, T0, src: CellList, packed_flat, origin, row_offset,
+    h: int, w: int, resolution: float, m: MatcherParams,
+):
+    """d2d_score_dense against a target selected by `row_offset` out of
+    a FLAT packed table ((H*W, 8), or a stacked bank reshaped to
+    (N*H*W, 8)) — score-only counterpart of
+    d2d_analytic.fgh_dense_flat.  Differentiable in `d`."""
+    T = _apply_increment(d, T0)
+    moved = src.transform(T)
+    n = m.n_neighbours
+
+    rel = (moved.means - origin) / resolution
+    ix0 = jnp.floor(rel[..., 0]).astype(jnp.int32)
+    iy0 = jnp.floor(rel[..., 1]).astype(jnp.int32)
+    t_means, t_covs, t_valid = gather_windows_flat(
+        packed_flat, h, w, iy0, ix0, n, row_offset
+    )
     mu_d = moved.means[:, None, :] - t_means
     cov_sum = moved.covs[:, None, :, :] + t_covs
     s = pair_score(mu_d, cov_sum, m.lfd1, m.lfd2)
@@ -442,3 +523,138 @@ def covariance_d2d(
         jnp.zeros(3), T, src, tgt, map_params, m
     )
     return cov_from_hessian(H, m)
+
+
+def newton_match_batch(d_init_b, m: MatcherParams, fgh_fn_batch):
+    """Batched `newton_match`: B independent 3-DoF LM minimizations
+    advancing in lockstep with per-lane masks.
+
+    `fgh_fn_batch((B, 3)) -> (f (B,), g (B, 3), H (B, 3, 3))` evaluates
+    ALL lanes in one call — the point of this variant: the caller can
+    issue the window gather with flattened 1-D indices
+    (d2d_analytic.fgh_dense_flat_batch) instead of a vmapped
+    batched-index gather, whose TPU lowering broadcasts the shared
+    bank per lane (20 GB at the B=128 fleet point — round 4).
+
+    Identical trial logic to newton_match (fgh-reuse trials, PSD
+    projection, LM damping, Armijo acceptance, best-score fallback,
+    chunked early exit — the chunk skips only when EVERY lane has
+    stopped, matching vmap(newton_match)'s masked behaviour).
+
+    Returns (d (B, 3), score (B,), trials (B,), converged (B,)).
+    """
+    b = d_init_b.shape[0]
+    max_trials = 2 * m.itr_max
+    lam_min = jnp.float32(1e-6)
+    lam_max = jnp.float32(1e7)
+    eye = jnp.eye(3, dtype=jnp.float32)
+
+    psd_project = jax.vmap(_psd_project)
+
+    def body(state, _):
+        d, f, g, H, lam, best_d, best_f, itr, stop = state
+        Hp = psd_project(H)
+        gnorm = jnp.linalg.norm(g, axis=-1)
+        grad_vanished = gnorm <= m.delta_score
+
+        delta = -jnp.linalg.solve(
+            Hp + lam[:, None, None] * eye, g[..., None]
+        )[..., 0]
+        f_new, g_new, H_new = fgh_fn_batch(d + delta)
+        accept = (
+            f_new <= f + 1e-4 * jnp.einsum("bi,bi->b", delta, g)
+        ) & ~stop
+
+        d_next = jnp.where(accept[:, None], d + delta, d)
+        f_next = jnp.where(accept, f_new, f)
+        g_next = jnp.where(accept[:, None], g_new, g)
+        H_next = jnp.where(accept[:, None, None], H_new, H)
+        if m.step_control:
+            lam_new = jnp.where(
+                accept, jnp.maximum(lam * 0.33, lam_min), lam * 6.0
+            )
+            lam_new = jnp.where(stop, lam, lam_new)
+        else:
+            lam_new = jnp.full_like(lam, lam_min)
+
+        better = f_next < best_f
+        best_f2 = jnp.where(better, f_next, best_f)
+        best_d2 = jnp.where(better[:, None], d_next, best_d)
+
+        score_converged = accept & (f - f_new <= m.delta_score)
+        stop_new = stop | grad_vanished | (lam_new > lam_max) | (
+            score_converged
+        )
+        itr_new = jnp.where(stop, itr, itr + 1)
+        return (
+            d_next, f_next, g_next, H_next, lam_new,
+            best_d2, best_f2, itr_new, stop_new,
+        ), None
+
+    d0 = jnp.asarray(d_init_b, jnp.float32)
+    f0, g0, H0 = fgh_fn_batch(d0)
+    init = (
+        d0, f0, g0, H0,
+        jnp.full(b, 1e-3, jnp.float32),
+        d0, f0,
+        jnp.zeros(b, jnp.int32),
+        jnp.zeros(b, bool),
+    )
+
+    trial_chunk = 6
+    n_chunks = -(-max_trials // trial_chunk)
+
+    def chunk(state, _):
+        def run(st):
+            out, _ = jax.lax.scan(body, st, None, length=trial_chunk)
+            return out
+
+        state = jax.lax.cond(
+            jnp.all(state[-1]), lambda st: st, run, state
+        )
+        return state, None
+
+    (d, f, g, H, lam, best_d, best_f, itr, stop), _ = jax.lax.scan(
+        chunk, init, None, length=n_chunks
+    )
+
+    use_best = f > best_f
+    d_out = jnp.where(use_best[:, None], best_d, d)
+    f_out = jnp.where(use_best, best_f, f)
+    return d_out, f_out, itr, stop
+
+
+def build_wide_table(packed, h: int, w: int, n: int = 2):
+    """(..., H*W, 8) packed table -> (..., H*W, (2n+1)*8) WIN-ROW table:
+    entry (iy, ix) carries the channel blocks of cells
+    (iy, ix-n .. ix+n), out-of-grid cells filled with the empty pack
+    row (valid=0).
+
+    Why: the registration window gather is ROW-transaction-bound on
+    TPU (measured round 4: ~40-50 Mrows/s from an HBM-resident bank
+    regardless of batch size, examples/probe_fleet_stages.py).  A
+    (2n+1)^2 window around a cell is (2n+1) vertically-adjacent
+    win-rows, so gathering from this table needs (2n+1) rows per
+    source cell instead of (2n+1)^2 — a 5x cut in the dominant cost at
+    the canonical 5x5 window.  Derived per scan step (or per offline
+    batch) from the incrementally-maintained 8-channel table; the
+    derivation is pure slicing/concat (no gathers).
+    """
+    lead = packed.shape[:-2]
+    g = packed.reshape(lead + (h, w, 8))
+    empty = empty_pack_row(packed.dtype)
+    parts = []
+    for o in range(-n, n + 1):
+        if o < 0:
+            sl = g[..., : w + o, :]
+            pad = jnp.broadcast_to(empty, lead + (h, -o, 8))
+            part = jnp.concatenate([pad, sl], axis=-2)
+        elif o > 0:
+            sl = g[..., o:, :]
+            pad = jnp.broadcast_to(empty, lead + (h, o, 8))
+            part = jnp.concatenate([sl, pad], axis=-2)
+        else:
+            part = g
+        parts.append(part)
+    wide = jnp.concatenate(parts, axis=-1)
+    return wide.reshape(lead + (h * w, (2 * n + 1) * 8))

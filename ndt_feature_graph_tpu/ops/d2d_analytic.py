@@ -260,3 +260,172 @@ def fgh_mahalanobis(d, Q):
     (fusion.h:11-32)."""
     Qs = Q + Q.T
     return d @ Q @ d, Qs @ d, Qs
+
+
+def fgh_dense_flat_batch(
+    d_b,            # (B, 3) per-lane increments
+    T0_b,           # (B, 3) per-lane initial transforms
+    src_b,          # CellList batched (B, N, ...)
+    packed_flat,    # (R, 8) shared flat packed bank
+    origins,        # (B, 2) per-lane target origins
+    row_offsets,    # (B,) int32 per-lane bank row offsets
+    h: int,
+    w: int,
+    resolution: float,
+    m: MatcherParams,
+):
+    """Batched fgh_dense_flat for B lanes with ONE unbatched gather.
+
+    vmap(fgh_dense_flat) makes the window gather's indices carry a
+    batch dim over a shared operand; on TPU that lowering materializes
+    a per-lane broadcast of the WHOLE bank (seen round 4: a
+    f32[128, 5.12M, 8] = 20 GB remat allocation killed the B=128 fleet
+    compile).  Here the per-lane geometry runs under vmap (cheap
+    elementwise math) but the gather is issued manually with FLATTENED
+    1-D indices — a plain gather, no operand batching dims.
+
+    Returns (f (B,), g (B, 3), H (B, 3, 3)).
+    """
+    import jax
+
+    from ndt_feature_graph_tpu.ops.d2d import _apply_increment
+
+    n = m.n_neighbours
+    win = 2 * n + 1
+    k = win * win
+
+    def geom(d, T0, src, origin):
+        T = _apply_increment(d, T0)
+        moved = src.transform(T)
+        rel = (moved.means - origin) / resolution
+        ix0 = jnp.floor(rel[..., 0]).astype(jnp.int32)
+        iy0 = jnp.floor(rel[..., 1]).astype(jnp.int32)
+        return moved, iy0, ix0
+
+    moved, iy0, ix0 = jax.vmap(geom)(d_b, T0_b, src_b, origins)
+
+    offs = jnp.arange(-n, n + 1)
+    dy = jnp.repeat(offs, win)
+    dx = jnp.tile(offs, win)
+    iy = iy0[..., None] + dy            # (B, N, K)
+    ix = ix0[..., None] + dx
+    inb = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
+    flat = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
+    linear = (row_offsets[:, None, None] + flat).reshape(-1)
+    rows = packed_flat[linear].reshape(flat.shape + (8,))  # (B,N,K,8)
+
+    t_means = rows[..., 0:2]
+    c00 = rows[..., 2]
+    c01 = rows[..., 3]
+    c11 = rows[..., 4]
+    t_covs = jnp.stack(
+        [
+            jnp.stack([c00, c01], -1),
+            jnp.stack([c01, c11], -1),
+        ],
+        -2,
+    )
+    t_valid = (rows[..., 5] > 0.5) & inb
+
+    mu = moved.means[..., None, :] - t_means              # (B,N,K,2)
+    Sig = moved.covs[..., None, :, :] + t_covs            # (B,N,K,2,2)
+    m_rot = (moved.means - d_b[:, None, :2])[..., None, :]
+    ok = t_valid & moved.mask[..., None]
+
+    s, g, H = _pair_fgh(
+        mu, Sig, m_rot, moved.covs[..., None, :, :], m.lfd1, m.lfd2
+    )
+    okf = ok.astype(jnp.float32)
+    f = jnp.sum(s * okf, axis=(1, 2))
+    grad = jnp.sum(g * okf[..., None], axis=(1, 2))
+    hess = jnp.sum(H * okf[..., None, None], axis=(1, 2))
+    return f, grad, hess
+
+
+def fgh_dense_wide_batch(
+    d_b,            # (B, 3)
+    T0_b,           # (B, 3)
+    src_b,          # CellList batched (B, N, ...)
+    wide_flat,      # (R, (2n+1)*8) win-row table (d2d.build_wide_table)
+    origins,        # (B, 2)
+    row_offsets,    # (B,) int32
+    h: int,
+    w: int,
+    resolution: float,
+    m: MatcherParams,
+):
+    """fgh_dense_flat_batch against the WIN-ROW table: each source
+    cell's (2n+1)^2 window is (2n+1) gathered win-rows (vertical
+    neighbours), each already carrying the (2n+1) horizontal cells —
+    (2n+1)x fewer gather rows than the 8-channel table, and the gather
+    is row-transaction-bound (see d2d.build_wide_table).  Numerically
+    identical to fgh_dense_flat_batch (edge cells enter with valid=0
+    exactly as the in-bounds mask removes them there;
+    tests/test_d2d_analytic.py::test_wide_batch_matches_flat_batch).
+
+    Returns (f (B,), g (B, 3), H (B, 3, 3)).
+    """
+    import jax
+
+    from ndt_feature_graph_tpu.ops.d2d import _apply_increment
+
+    n = m.n_neighbours
+    win = 2 * n + 1
+
+    def geom(d, T0, src, origin):
+        T = _apply_increment(d, T0)
+        moved = src.transform(T)
+        rel = (moved.means - origin) / resolution
+        ix0 = jnp.floor(rel[..., 0]).astype(jnp.int32)
+        iy0 = jnp.floor(rel[..., 1]).astype(jnp.int32)
+        return moved, iy0, ix0
+
+    moved, iy0, ix0 = jax.vmap(geom)(d_b, T0_b, src_b, origins)
+
+    offs = jnp.arange(-n, n + 1)
+    iy = iy0[..., None] + offs                       # (B, N, win)
+    inb_y = (iy >= 0) & (iy < h)
+    inb_x0 = (ix0 >= 0) & (ix0 < w)                  # (B, N)
+    flat = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix0, 0, w - 1)[
+        ..., None
+    ]
+    linear = (row_offsets[:, None, None] + flat).reshape(-1)
+    rows = wide_flat[linear].reshape(
+        flat.shape + (win * 8,)
+    )                                                # (B, N, win, win*8)
+    rows = rows.reshape(flat.shape + (win, 8))       # (B,N,dy,dx,8)
+    k = win * win
+    rows = rows.reshape(rows.shape[:2] + (k, 8))     # (B, N, K, 8)
+
+    t_means = rows[..., 0:2]
+    c00 = rows[..., 2]
+    c01 = rows[..., 3]
+    c11 = rows[..., 4]
+    t_covs = jnp.stack(
+        [
+            jnp.stack([c00, c01], -1),
+            jnp.stack([c01, c11], -1),
+        ],
+        -2,
+    )
+    # Horizontal out-of-grid cells carry valid=0 from the table build;
+    # vertical out-of-grid rows and off-grid ix0 are masked here.
+    inb = (
+        jnp.repeat(inb_y, win, axis=-1)              # (B, N, K) dy-major
+        & inb_x0[..., None]
+    )
+    t_valid = (rows[..., 5] > 0.5) & inb
+
+    mu = moved.means[..., None, :] - t_means
+    Sig = moved.covs[..., None, :, :] + t_covs
+    m_rot = (moved.means - d_b[:, None, :2])[..., None, :]
+    ok = t_valid & moved.mask[..., None]
+
+    s, g, H = _pair_fgh(
+        mu, Sig, m_rot, moved.covs[..., None, :, :], m.lfd1, m.lfd2
+    )
+    okf = ok.astype(jnp.float32)
+    f = jnp.sum(s * okf, axis=(1, 2))
+    grad = jnp.sum(g * okf[..., None], axis=(1, 2))
+    hess = jnp.sum(H * okf[..., None, None], axis=(1, 2))
+    return f, grad, hess

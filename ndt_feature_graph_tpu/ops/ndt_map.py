@@ -82,14 +82,21 @@ def in_bounds(params: NDTMapParams, iy, ix):
     )
 
 
-def add_points(
+def add_points_touched(
     grid: NDTGrid, params: NDTMapParams, pts, mask
-) -> NDTGrid:
-    """Scatter a masked point batch (P, 2) into the sufficient statistics.
+):
+    """Scatter a masked point batch (P, 2) into the sufficient
+    statistics and ALSO return the touched flat cell indices.
 
     Replaces NDTMap::addPointCloud + computeNDTCells(SAMPLE_VARIANCE)
     (fuser_hmt.cpp:482-487): because we keep (count, sum, outer), the
     recursive sample-variance update is just addition.
+
+    Returns (grid, flat (P,) int32) where flat[i] is the updated cell's
+    flat index, or the out-of-grid sentinel h*w for dropped points —
+    consumers that maintain derived per-cell tables (the fuser's
+    incremental packed registration target) refresh exactly these rows
+    instead of re-finalizing the whole grid.
     """
     iy, ix = cell_index(params, grid.origin, pts)
     # NaN guard (sensor glitches poison sufficient statistics otherwise;
@@ -111,7 +118,15 @@ def add_points(
     outer = grid.outer + jnp.zeros(
         (dnum, 2, 2), grid.outer.dtype
     ).at[flat].add(op)[:-1].reshape(h, w, 2, 2)
-    return grid._replace(count=count, psum=psum, outer=outer)
+    return grid._replace(count=count, psum=psum, outer=outer), flat
+
+
+def add_points(
+    grid: NDTGrid, params: NDTMapParams, pts, mask
+) -> NDTGrid:
+    """add_points_touched without the touched-cell report."""
+    grid, _ = add_points_touched(grid, params, pts, mask)
+    return grid
 
 
 def update_occupancy(
@@ -191,19 +206,22 @@ def condition_cov(cov, min_eig_ratio=1e-3, min_eig_abs=1e-6):
     )
 
 
-def finalize(grid: NDTGrid, params: NDTMapParams):
-    """Compute (mean, cov, valid) fields from sufficient statistics.
+def finalize_stats(count, psum, outer, params: NDTMapParams):
+    """(mean, cov, valid) from sufficient statistics, batched over any
+    leading dims — the per-cell core of `finalize`, also used to
+    refresh individual gathered cells (fuser incremental packed
+    target).
 
-    Sample variance: cov = (outer - n * mean mean^T) / (n - 1), valid only
-    where count >= min_points_per_cell (NDTCell::computeGaussian
-    semantics).  Returns (means (H,W,2), covs (H,W,2,2), valid (H,W)).
+    Sample variance: cov = (outer - n * mean mean^T) / (n - 1), valid
+    only where count >= min_points_per_cell (NDTCell::computeGaussian
+    semantics).
     """
-    n = grid.count
+    n = count
     valid = n >= params.min_points_per_cell
     nsafe = jnp.maximum(n, 1.0)
-    mean = grid.psum / nsafe[..., None]
+    mean = psum / nsafe[..., None]
     mm = mean[..., :, None] * mean[..., None, :]
-    cov = (grid.outer - nsafe[..., None, None] * mm) / jnp.maximum(
+    cov = (outer - nsafe[..., None, None] * mm) / jnp.maximum(
         nsafe - 1.0, 1.0
     )[..., None, None]
     cov = condition_cov(cov)
@@ -213,6 +231,15 @@ def finalize(grid: NDTGrid, params: NDTMapParams):
     eye = jnp.eye(2, dtype=cov.dtype) * 1e-3
     cov = jnp.where(valid[..., None, None], cov, eye)
     return mean, cov, valid
+
+
+def finalize(grid: NDTGrid, params: NDTMapParams):
+    """Compute (mean, cov, valid) fields from sufficient statistics.
+
+    Returns (means (H,W,2), covs (H,W,2,2), valid (H,W)); see
+    finalize_stats for the semantics.
+    """
+    return finalize_stats(grid.count, grid.psum, grid.outer, params)
 
 
 def to_cell_list(grid: NDTGrid, params: NDTMapParams) -> CellList:
@@ -243,6 +270,19 @@ def recenter(grid: NDTGrid, params: NDTMapParams, new_center):
     jnp.roll + iota masks (fixed shapes, no host round trip).  A zero
     shift is an exact no-op.
     """
+    g, _ = recenter_with_aux(grid, params, new_center)
+    return g
+
+
+def recenter_with_aux(
+    grid: NDTGrid, params: NDTMapParams, new_center,
+    aux=None, aux_fill=None,
+):
+    """`recenter`, plus an optional companion (H*W, C) per-cell table
+    (the fuser's incremental packed registration target) shifted in
+    lockstep: rows follow their cells; rows exposed at the leading edge
+    are set to `aux_fill` (C,) — the pack of an empty cell.  Returns
+    (grid, aux_or_None)."""
     res = params.resolution
     cur_center = grid.origin + jnp.asarray(
         [params.size_x / 2.0, params.size_y / 2.0], grid.origin.dtype
@@ -263,18 +303,26 @@ def recenter(grid: NDTGrid, params: NDTMapParams, new_center):
         (iy + sy >= 0) & (iy + sy < h) & (ix + sx >= 0) & (ix + sx < w)
     )
 
-    def mv(a):
+    def mv(a, fill=None):
         rolled = jnp.roll(a, shift=(-sy, -sx), axis=(0, 1))
         k = keep.reshape(keep.shape + (1,) * (a.ndim - 2))
-        return jnp.where(k, rolled, jnp.zeros((), a.dtype))
+        f = jnp.zeros((), a.dtype) if fill is None else fill
+        return jnp.where(k, rolled, f)
 
-    return NDTGrid(
+    g = NDTGrid(
         origin=new_origin,
         count=mv(grid.count),
         psum=mv(grid.psum),
         outer=mv(grid.outer),
         occ=mv(grid.occ),
     )
+    aux_out = None
+    if aux is not None:
+        c = aux.shape[-1]
+        aux_out = mv(
+            aux.reshape(h, w, c), aux_fill
+        ).reshape(h * w, c)
+    return g, aux_out
 
 
 def occupancy_rescaled(grid: NDTGrid):

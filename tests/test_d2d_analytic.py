@@ -113,3 +113,86 @@ def test_mahalanobis_fgh():
     np.testing.assert_allclose(
         np.asarray(H), np.asarray(jax.hessian(score)(d)), atol=1e-5
     )
+
+
+def test_wide_batch_matches_flat_batch():
+    """The win-row batched fgh (fgh_dense_wide_batch over
+    d2d.build_wide_table) must match fgh_dense_flat_batch exactly:
+    same rows, same masks, (2n+1)x fewer gather transactions."""
+    import numpy as np
+
+    from ndt_feature_graph_tpu.ops import d2d
+    from ndt_feature_graph_tpu.ops.ndt_map import CellList
+
+    rng = np.random.default_rng(7)
+    h = w = 24
+    b, n_src = 3, 17
+    n_nodes = b
+    packed = np.zeros((n_nodes, h * w, 8), np.float32)
+    packed[:] = np.asarray(d2d.empty_pack_row())
+    for k in range(n_nodes):
+        filled = rng.choice(h * w, 120, replace=False)
+        for c in filled:
+            mean = rng.normal(0, 4.0, 2)
+            a = rng.uniform(0.01, 0.05)
+            cc = rng.uniform(0.01, 0.05)
+            bb = rng.uniform(-0.005, 0.005)
+            packed[k, c] = [mean[0], mean[1], a, bb, cc, 1.0, 0, 0]
+    packed = jnp.asarray(packed)
+    m = MatcherParams()
+
+    src = CellList(
+        means=jnp.asarray(
+            rng.normal(0, 4.0, (b, n_src, 2)).astype(np.float32)
+        ),
+        covs=jnp.asarray(
+            np.tile(
+                (np.eye(2) * 0.03).astype(np.float32),
+                (b, n_src, 1, 1),
+            )
+        ),
+        mask=jnp.asarray(rng.random((b, n_src)) > 0.2),
+    )
+    # Origins so some windows fall off every edge.
+    origins = jnp.asarray(
+        rng.uniform(-7.0, -4.0, (b, 2)).astype(np.float32)
+    )
+    row_offsets = jnp.arange(b, dtype=jnp.int32) * (h * w)
+    d_b = jnp.asarray(
+        rng.normal(0, 0.1, (b, 3)).astype(np.float32)
+    )
+    T0_b = jnp.asarray(
+        rng.normal(0, 0.2, (b, 3)).astype(np.float32)
+    )
+    res = 0.5
+
+    flat8 = packed.reshape(-1, 8)
+    f1, g1, H1 = d2d_analytic.fgh_dense_flat_batch(
+        d_b, T0_b, src, flat8, origins, row_offsets, h, w, res, m
+    )
+    wide = d2d.build_wide_table(packed, h, w, m.n_neighbours)
+    wide_flat = wide.reshape(-1, wide.shape[-1])
+    f2, g2, H2 = d2d_analytic.fgh_dense_wide_batch(
+        d_b, T0_b, src, wide_flat, origins, row_offsets, h, w, res, m
+    )
+    np.testing.assert_allclose(
+        np.asarray(f1), np.asarray(f2), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(H1), np.asarray(H2), rtol=1e-5, atol=1e-5
+    )
+    # And the flat-batch form itself agrees with per-lane fgh_dense_flat.
+    for i in range(b):
+        src_i = CellList(
+            means=src.means[i], covs=src.covs[i], mask=src.mask[i]
+        )
+        fi, gi, Hi = d2d_analytic.fgh_dense_flat(
+            d_b[i], T0_b[i], src_i, flat8, origins[i],
+            row_offsets[i], h, w, res, m,
+        )
+        np.testing.assert_allclose(
+            np.asarray(f1)[i], np.asarray(fi), rtol=1e-5, atol=1e-5
+        )

@@ -207,3 +207,45 @@ def test_match_cell_budget_exact_when_cells_fit():
     np.testing.assert_array_equal(
         np.asarray(s_full.grid.count), np.asarray(s_bud.grid.count)
     )
+
+
+def test_incremental_packed_matches_full_refinalize():
+    """FuserState.packed is maintained incrementally (only touched
+    cells re-finalized per scan, d2d.refresh_packed) and must match
+    the full-grid re-finalize it replaced (d2d.packed_from_grid) to
+    f32 ulp tolerance (separately-compiled programs fuse the eig
+    reconstruction differently), including across rolling-map recentres
+    (recenter_with_aux rolls rows in lockstep; exposed rows get the
+    empty-cell pack)."""
+    from ndt_feature_graph_tpu.ops import d2d
+
+    small = PARAMS.replace(
+        ndt=PARAMS.ndt.replace(size_x=16.0, size_y=16.0),
+        rolling_map=True,
+        roll_margin=2.0,
+    )
+    traj = dataset.corridor_trajectory(12, x0=-6.0, x1=4.0, y=-4.5)
+    seq = dataset.simulate_sequence(
+        jax.random.PRNGKey(3), traj, num_beams=360, max_range=15.0
+    )
+    pts0, m0 = dataset.scan_to_points(seq.ranges[0], seq.hit[0])
+    state = fuser.initialize(small, seq.gt[0], jnp.zeros(3), pts0, m0)
+    np.testing.assert_allclose(
+        np.asarray(state.packed),
+        np.asarray(d2d.packed_from_grid(state.grid, small.ndt)),
+        rtol=0, atol=1e-4,
+    )
+    rolled = False
+    for t in range(1, seq.gt.shape[0]):
+        pts, m = dataset.scan_to_points(seq.ranges[t], seq.hit[t])
+        prev_origin = np.asarray(state.grid.origin)
+        state, _ = fuser.update(state, small, seq.odom[t], pts, m)
+        rolled = rolled or (
+            np.any(np.asarray(state.grid.origin) != prev_origin)
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.packed),
+            np.asarray(d2d.packed_from_grid(state.grid, small.ndt)),
+            rtol=0, atol=1e-4,
+        )
+    assert rolled, "trajectory never triggered a recentre"
