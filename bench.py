@@ -104,7 +104,22 @@ def verify_cell_budget(params, seq):
 
         return jax.vmap(one)(pts, mask)
 
-    mx = int(jnp.max(counts(pts_all, mask_all)))
+    # Chunked: vmapping the local-grid build over a whole long
+    # sequence at once OOMs the compile (1000 x 126x126 grid temps).
+    t = pts_all.shape[0]
+    chunk = 200
+    mx = 0
+    for c in range(0, t, chunk):
+        if pts_all[c:c + chunk].shape[0] != chunk:
+            tail_pts = pts_all[t - chunk:]
+            tail_mask = mask_all[t - chunk:]
+            mx = max(mx, int(jnp.max(counts(tail_pts, tail_mask))))
+            break
+        mx = max(
+            mx,
+            int(jnp.max(counts(pts_all[c:c + chunk],
+                               mask_all[c:c + chunk]))),
+        )
     if params.match_cell_budget and mx > params.match_cell_budget:
         return mx, params.replace(match_cell_budget=0)
     return mx, params

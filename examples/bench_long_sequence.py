@@ -17,9 +17,19 @@ Run on the real chip:  timeout 3000 python examples/bench_long_sequence.py
 """
 
 import json
+import os
+import sys
 import time
 
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 import jax.numpy as jnp
 import numpy as np
 
