@@ -539,38 +539,126 @@ class NDTFeatureGraphSLAM:
         gp.link_batch_size > 0 the padded pair list is processed in
         fixed-size chunks (each chunk one dispatch of the same compiled
         executables — bounded device memory at any candidate count);
-        otherwise one batch over all pairs."""
+        otherwise one batch over all pairs.  With gp.link_group_nodes
+        > 0, chunks are additionally closed when they would reference
+        more than that many distinct nodes, and each chunk runs
+        against a compact gathered sub-bank — keeping the refine
+        gathers' working set VMEM-resident at any graph size (see
+        config.GraphParams.link_group_nodes)."""
         p = self.params.fuser
         gp = self.params.graph
         budget = links_mod.source_cell_budget(stacked)
 
-        def run(ref_c, mov_c, mask_c):
+        def run(stk, ref_c, mov_c, mask_c):
             ls = links_mod.compute_links_batch(
-                p.features, p.ndt.resolution, stacked, ref_c, mov_c,
+                p.features, p.ndt.resolution, stk, ref_c, mov_c,
                 mask_c, self._split_key(),
             )
             ls = links_mod.refine_links_d2d(
-                p.ndt, p.matcher, stacked, ls, src_budget=budget
+                p.ndt, p.matcher, stk, ls, src_budget=budget
             )
             return links_mod.rescore_links(
-                p.ndt.resolution, stacked, ls
+                p.ndt.resolution, stk, ls
             )
 
         n = int(ref.shape[0])
         B = gp.link_batch_size
         if B <= 0 or n <= B:
-            return run(ref, mov, mask)
+            return run(stacked, ref, mov, mask)
+
+        if gp.link_group_nodes > 0:
+            return self._propose_links_grouped(
+                stacked, ref, mov, mask, run, B, gp.link_group_nodes
+            )
+
         pad = (-n) % B
         ref_p = jnp.concatenate([ref, jnp.zeros(pad, jnp.int32)])
         mov_p = jnp.concatenate([mov, jnp.zeros(pad, jnp.int32)])
         mask_p = jnp.concatenate([mask, jnp.zeros(pad, bool)])
         chunks = [
-            run(ref_p[c: c + B], mov_p[c: c + B], mask_p[c: c + B])
+            run(stacked, ref_p[c: c + B], mov_p[c: c + B],
+                mask_p[c: c + B])
             for c in range(0, n + pad, B)
         ]
         return jax.tree.map(
             lambda *xs: jnp.concatenate(xs)[:n], *chunks
         )
+
+    def _propose_links_grouped(self, stacked, ref, mov, mask, run,
+                               batch: int, group_nodes: int):
+        """Locality-grouped chunking for _propose_links: consecutive
+        pairs accumulate until the chunk holds `batch` pairs or would
+        reference more than `group_nodes` distinct nodes; the chunk
+        then runs against a compact sub-bank of exactly those nodes
+        (static (group_nodes, ...) shapes -> one compile for every
+        chunk).  Pair order is preserved, outputs carry GLOBAL node
+        indices."""
+        ref_np = np.asarray(ref)
+        mov_np = np.asarray(mov)
+        mask_np = np.asarray(mask)
+        n = ref_np.shape[0]
+
+        # Consecutive grouping (candidate lists are locality-sorted).
+        bounds = []           # (start, end) pair ranges
+        start = 0
+        nodes_in: set = set()
+        for k in range(n):
+            new = (
+                {int(ref_np[k]), int(mov_np[k])} - nodes_in
+                if mask_np[k] else set()
+            )
+            if k > start and (
+                k - start >= batch
+                or len(nodes_in) + len(new) > group_nodes
+            ):
+                bounds.append((start, k))
+                start = k
+                nodes_in = set()
+                new = (
+                    {int(ref_np[k]), int(mov_np[k])}
+                    if mask_np[k] else set()
+                )
+            nodes_in |= new
+        bounds.append((start, n))
+
+        outs = []
+        for (s, e) in bounds:
+            uniq = sorted(
+                {int(ref_np[k]) for k in range(s, e) if mask_np[k]}
+                | {int(mov_np[k]) for k in range(s, e) if mask_np[k]}
+            ) or [0]
+            local = {g: i for i, g in enumerate(uniq)}
+            # Pad the node list to the static group size and the pair
+            # slice to the static batch size.
+            sel = uniq + [uniq[0]] * (group_nodes - len(uniq))
+            sub = jax.tree.map(
+                lambda x: x[jnp.asarray(sel, jnp.int32)], stacked
+            )
+            cnt = e - s
+            ref_c = np.zeros(batch, np.int32)
+            mov_c = np.zeros(batch, np.int32)
+            mask_c = np.zeros(batch, bool)
+            for k in range(s, e):
+                if mask_np[k]:
+                    ref_c[k - s] = local[int(ref_np[k])]
+                    mov_c[k - s] = local[int(mov_np[k])]
+                    mask_c[k - s] = True
+            ls = run(
+                sub, jnp.asarray(ref_c), jnp.asarray(mov_c),
+                jnp.asarray(mask_c),
+            )
+            # Back to global indices, original pair order and mask.
+            outs.append(
+                ls._replace(
+                    ref=ref[s:e],
+                    mov=mov[s:e],
+                    T=ls.T[:cnt],
+                    cov=ls.cov[:cnt],
+                    score=ls.score[:cnt],
+                    mask=ls.mask[:cnt] & mask[s:e],
+                )
+            )
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs)
 
     def _edges_from(self, link_set, link_keep, node_T):
         """Combine odometry edges + kept loop-closure links + links

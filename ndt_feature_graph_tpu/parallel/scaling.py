@@ -122,3 +122,45 @@ def scaling_report(params: FuserParams, device_counts, **kw):
             }
         )
     return rows
+
+
+def serve_fleet_grouped(
+    params: FuserParams, states, odom, pts, mask, group_size: int = 8
+):
+    """Serve a large fleet of independent scan streams in groups of
+    `group_size` through scan_driver.run_sequence_batch.
+
+    Round-4 finding (BENCH_NOTES): the batched registration's shared
+    gather bank must stay VMEM-resident to run at speed — aggregate
+    throughput peaks at B~8 on one v5e chip (391 scans/s) and drops
+    ~2x by B=32 as the (B*H*W, ch) bank spills to HBM.  Streams are
+    independent, so a fleet of R robots is served as ceil(R/G)
+    sequential G-stream groups at the sweet spot; this helper is that
+    serving shape (the last partial group is padded by replicating
+    stream 0 and its outputs dropped).
+
+    Returns (final_states, trajectories (B, T-ish...), scores) shaped
+    like run_sequence_batch over the whole fleet.
+    """
+    b = states.Tnow.shape[0]
+    outs = []
+    for s in range(0, b, group_size):
+        e = min(s + group_size, b)
+        pad = group_size - (e - s)
+
+        def take(x):
+            sl = x[s:e]
+            if pad:
+                sl = jnp.concatenate(
+                    [sl, jnp.repeat(x[s:s + 1], pad, axis=0)]
+                )
+            return sl
+
+        g_states = jax.tree.map(take, states)
+        res = scan_driver.run_sequence_batch(
+            params, g_states, take(odom), take(pts), take(mask)
+        )
+        outs.append(
+            jax.tree.map(lambda x: x[: e - s], res)
+        )
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs)

@@ -158,3 +158,34 @@ def test_sharded_schur_matches_dense():
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(out), np.asarray(gt),
                                atol=0.05)
+
+
+def test_serve_fleet_grouped_matches_single_batch():
+    """Group-serving (scaling.serve_fleet_grouped) is exactly the
+    batched driver applied per group — outputs must match a whole-
+    fleet run to f32 noise, including a padded final partial group."""
+    from ndt_feature_graph_tpu.config import FuserParams, NDTMapParams
+    from ndt_feature_graph_tpu.fusion import scan_driver
+    from ndt_feature_graph_tpu.parallel import scaling
+
+    params = FuserParams(
+        ndt=NDTMapParams(
+            resolution=0.5, size_x=24.0, size_y=24.0,
+            sensor_range=10.0, max_points_per_scan=180,
+            max_cells=256, ray_samples=16,
+        ),
+    )
+    b = 5  # group_size=2 -> 2 full groups + 1 padded partial
+    states, odom, pts, mask = scaling.build_fleet_inputs(
+        params, b, t_steps=5, num_beams=180
+    )
+    whole = scan_driver.run_sequence_batch(
+        params, states, odom, pts, mask
+    )
+    grouped = scaling.serve_fleet_grouped(
+        params, states, odom, pts, mask, group_size=2
+    )
+    np.testing.assert_allclose(
+        np.asarray(whole[1]), np.asarray(grouped[1]),
+        rtol=0, atol=2e-3,
+    )
