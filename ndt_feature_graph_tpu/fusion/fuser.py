@@ -358,9 +358,10 @@ def update_batch(
     wide = d2d.build_wide_table(
         states.packed, h, w, m.n_neighbours
     )
-    wide_flat = wide.reshape(b * h * w, wide.shape[-1])
+    stride = d2d.wide_row_stride(h, w, m.n_neighbours)
+    wide_flat = wide.reshape(b * stride, wide.shape[-1])
     origins = states.grid.origin                      # (B, 2)
-    row_offsets = jnp.arange(b, dtype=jnp.int32) * (h * w)
+    row_offsets = jnp.arange(b, dtype=jnp.int32) * stride
     Qs_b = Q_b + Q_b.transpose(0, 2, 1)
 
     def fgh_batch(d_b):

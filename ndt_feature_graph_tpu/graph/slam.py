@@ -567,8 +567,14 @@ class NDTFeatureGraphSLAM:
             return run(stacked, ref, mov, mask)
 
         if gp.link_group_nodes > 0:
+            # A chunk's first pair is admitted unconditionally and can
+            # reference 2 distinct nodes, so the grouped path's static
+            # sub-bank shape requires group_nodes >= 2 (ADVICE round
+            # 4: a sub-bank larger than the static shape breaks the
+            # one-compile-per-chunk contract).
+            group_nodes = max(2, gp.link_group_nodes)
             return self._propose_links_grouped(
-                stacked, ref, mov, mask, run, B, gp.link_group_nodes
+                stacked, ref, mov, mask, run, B, group_nodes
             )
 
         pad = (-n) % B
@@ -629,7 +635,11 @@ class NDTFeatureGraphSLAM:
             ) or [0]
             local = {g: i for i, g in enumerate(uniq)}
             # Pad the node list to the static group size and the pair
-            # slice to the static batch size.
+            # slice to the static batch size.  The chunk builder closes
+            # chunks before they exceed group_nodes (>= 2 enforced by
+            # the caller); a violation here would silently change the
+            # static sub-bank shape and recompile per chunk.
+            assert len(uniq) <= group_nodes, (len(uniq), group_nodes)
             sel = uniq + [uniq[0]] * (group_nodes - len(uniq))
             sub = jax.tree.map(
                 lambda x: x[jnp.asarray(sel, jnp.int32)], stacked

@@ -625,36 +625,59 @@ def newton_match_batch(d_init_b, m: MatcherParams, fgh_fn_batch):
 
 
 def build_wide_table(packed, h: int, w: int, n: int = 2):
-    """(..., H*W, 8) packed table -> (..., H*W, (2n+1)*8) WIN-ROW table:
-    entry (iy, ix) carries the channel blocks of cells
-    (iy, ix-n .. ix+n), out-of-grid cells filled with the empty pack
-    row (valid=0).
+    """(..., H*W, 8) packed table -> (..., H*(W+2n), (2n+1)*8) WIN-ROW
+    table over a HORIZONTALLY PADDED column layout: entry (iy, jx) for
+    jx in [0, W+2n) is the win-row centred at grid column ix = jx - n,
+    carrying the channel blocks of cells (iy, ix-n .. ix+n) with
+    out-of-grid cells filled with the empty pack row (valid=0).
 
-    Why: the registration window gather is ROW-transaction-bound on
-    TPU (measured round 4: ~40-50 Mrows/s from an HBM-resident bank
-    regardless of batch size, examples/probe_fleet_stages.py).  A
-    (2n+1)^2 window around a cell is (2n+1) vertically-adjacent
-    win-rows, so gathering from this table needs (2n+1) rows per
-    source cell instead of (2n+1)^2 — a 5x cut in the dominant cost at
-    the canonical 5x5 window.  Derived per scan step (or per offline
-    batch) from the incrementally-maintained 8-channel table; the
-    derivation is pure slicing/concat (no gathers).
+    Why the padding: centre columns just OFF the grid (ix in [-n, -1]
+    or [W, W+n-1]) still have in-grid window cells; clipping them onto
+    column 0 / W-1 would return a SHIFTED window (wrong cells), and
+    masking them entirely diverges from the per-cell bounds of the
+    flat path at the horizontal map edges (ADVICE round 4).  With the
+    padded layout every centre column whose window intersects the grid
+    has its own exact win-row, and per-cell validity comes from the
+    empty padding — fgh_dense_wide_batch is numerically identical to
+    fgh_dense_flat_batch everywhere, including the edge bands.
+
+    Why the win-row shape at all: the registration window gather is
+    ROW-transaction-bound on TPU (measured round 4: ~40-50 Mrows/s
+    from an HBM-resident bank regardless of batch size,
+    examples/probe_fleet_stages.py).  A (2n+1)^2 window around a cell
+    is (2n+1) vertically-adjacent win-rows, so gathering from this
+    table needs (2n+1) rows per source cell instead of (2n+1)^2 — a
+    5x cut in the dominant cost at the canonical 5x5 window.  Derived
+    per scan step (or per offline batch) from the incrementally-
+    maintained 8-channel table; the derivation is pure slicing/concat
+    (no gathers).  Row offsets into a stacked bank are multiples of
+    H*(W+2n) (see wide_row_stride).
     """
     lead = packed.shape[:-2]
     g = packed.reshape(lead + (h, w, 8))
     empty = empty_pack_row(packed.dtype)
+    # Padded grid: columns [-n .. W-1+n], off-grid = empty row.
+    padc = jnp.broadcast_to(empty, lead + (h, n, 8))
+    gp = jnp.concatenate([padc, g, padc], axis=-2)   # (..., h, w+2n, 8)
+    wp = w + 2 * n
     parts = []
     for o in range(-n, n + 1):
+        # part_o[jx] = gp[jx + o] (cell at centre+o), out-of-range empty.
         if o < 0:
-            sl = g[..., : w + o, :]
+            sl = gp[..., : wp + o, :]
             pad = jnp.broadcast_to(empty, lead + (h, -o, 8))
             part = jnp.concatenate([pad, sl], axis=-2)
         elif o > 0:
-            sl = g[..., o:, :]
+            sl = gp[..., o:, :]
             pad = jnp.broadcast_to(empty, lead + (h, o, 8))
             part = jnp.concatenate([sl, pad], axis=-2)
         else:
-            part = g
+            part = gp
         parts.append(part)
     wide = jnp.concatenate(parts, axis=-1)
-    return wide.reshape(lead + (h * w, (2 * n + 1) * 8))
+    return wide.reshape(lead + (h * wp, (2 * n + 1) * 8))
+
+
+def wide_row_stride(h: int, w: int, n: int) -> int:
+    """Rows per grid in a stacked win-row table (build_wide_table)."""
+    return h * (w + 2 * n)

@@ -359,9 +359,14 @@ def fgh_dense_wide_batch(
     neighbours), each already carrying the (2n+1) horizontal cells —
     (2n+1)x fewer gather rows than the 8-channel table, and the gather
     is row-transaction-bound (see d2d.build_wide_table).  Numerically
-    identical to fgh_dense_flat_batch (edge cells enter with valid=0
-    exactly as the in-bounds mask removes them there;
-    tests/test_d2d_analytic.py::test_wide_batch_matches_flat_batch).
+    identical to fgh_dense_flat_batch everywhere including the
+    horizontal edge bands: the table's padded column layout gives
+    every centre column whose window intersects the grid an exact
+    win-row with per-cell validity (tests/test_d2d_analytic.py::
+    test_wide_batch_matches_flat_batch covers off-grid centres).
+
+    `row_offsets` are per-lane offsets into the stacked win-row table
+    in units of d2d.wide_row_stride(h, w, n) = h*(w+2n).
 
     Returns (f (B,), g (B, 3), H (B, 3, 3)).
     """
@@ -371,6 +376,7 @@ def fgh_dense_wide_batch(
 
     n = m.n_neighbours
     win = 2 * n + 1
+    wp = w + 2 * n
 
     def geom(d, T0, src, origin):
         T = _apply_increment(d, T0)
@@ -385,8 +391,11 @@ def fgh_dense_wide_batch(
     offs = jnp.arange(-n, n + 1)
     iy = iy0[..., None] + offs                       # (B, N, win)
     inb_y = (iy >= 0) & (iy < h)
-    inb_x0 = (ix0 >= 0) & (ix0 < w)                  # (B, N)
-    flat = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix0, 0, w - 1)[
+    jx0 = ix0 + n                                    # padded column
+    # Outside [0, wp): the whole window is horizontally off-grid —
+    # exactly the set the flat path's per-cell bounds also remove.
+    inb_x0 = (jx0 >= 0) & (jx0 < wp)                 # (B, N)
+    flat = jnp.clip(iy, 0, h - 1) * wp + jnp.clip(jx0, 0, wp - 1)[
         ..., None
     ]
     linear = (row_offsets[:, None, None] + flat).reshape(-1)
@@ -408,8 +417,9 @@ def fgh_dense_wide_batch(
         ],
         -2,
     )
-    # Horizontal out-of-grid cells carry valid=0 from the table build;
-    # vertical out-of-grid rows and off-grid ix0 are masked here.
+    # Horizontal out-of-grid cells carry valid=0 from the padded table
+    # build; vertical out-of-grid rows and fully-off-grid centre
+    # columns are masked here.
     inb = (
         jnp.repeat(inb_y, win, axis=-1)              # (B, N, K) dy-major
         & inb_x0[..., None]

@@ -118,7 +118,11 @@ def test_mahalanobis_fgh():
 def test_wide_batch_matches_flat_batch():
     """The win-row batched fgh (fgh_dense_wide_batch over
     d2d.build_wide_table) must match fgh_dense_flat_batch exactly:
-    same rows, same masks, (2n+1)x fewer gather transactions."""
+    same rows, same masks, (2n+1)x fewer gather transactions.
+    Coverage includes source cells whose CENTRE column is just off the
+    grid (ix0 in [-n, -1] / [w, w+n-1]) but whose windows still touch
+    valid target cells — the edge band where the pre-padded-layout
+    wide path diverged (ADVICE round 4)."""
     import numpy as np
 
     from ndt_feature_graph_tpu.ops import d2d
@@ -126,45 +130,84 @@ def test_wide_batch_matches_flat_batch():
 
     rng = np.random.default_rng(7)
     h = w = 24
-    b, n_src = 3, 17
+    b, n_src = 3, 21
     n_nodes = b
     packed = np.zeros((n_nodes, h * w, 8), np.float32)
     packed[:] = np.asarray(d2d.empty_pack_row())
     for k in range(n_nodes):
         filled = rng.choice(h * w, 120, replace=False)
+        # Valid target cells ON the vertical edges (rows around h/2,
+        # where the rigged off-grid-centre source cells land) so those
+        # windows have in-grid cells to score against.
+        edge_rows = np.arange(h // 2 - 3, h // 2 + 4)
+        filled = np.concatenate(
+            [filled, edge_rows * w, edge_rows * w + 1,
+             edge_rows * w + (w - 1), edge_rows * w + (w - 2)]
+        )
         for c in filled:
             mean = rng.normal(0, 4.0, 2)
             a = rng.uniform(0.01, 0.05)
             cc = rng.uniform(0.01, 0.05)
             bb = rng.uniform(-0.005, 0.005)
             packed[k, c] = [mean[0], mean[1], a, bb, cc, 1.0, 0, 0]
-    packed = jnp.asarray(packed)
     m = MatcherParams()
 
+    # Origins so some windows fall off every edge.
+    origins = rng.uniform(-7.0, -4.0, (b, 2)).astype(np.float32)
+    d_b = rng.normal(0, 0.1, (b, 3)).astype(np.float32)
+    T0_b = rng.normal(0, 0.2, (b, 3)).astype(np.float32)
+    res = 0.5
+
+    # Re-point the edge cells' gaussian means near their own cell's
+    # world position so the rigged off-grid-centre windows produce
+    # non-underflowing scores (otherwise the edge-band coverage would
+    # degenerate to comparing 0 == 0).
+    edge_rows = np.arange(h // 2 - 3, h // 2 + 4)
+    for k in range(n_nodes):
+        for ecol in (0, 1, w - 2, w - 1):
+            for r in edge_rows:
+                cx = origins[k, 0] + (ecol + 0.5) * res
+                cy = origins[k, 1] + (r + 0.5) * res
+                packed[k, r * w + ecol, 0] = cx + rng.normal(0, 0.2)
+                packed[k, r * w + ecol, 1] = cy + rng.normal(0, 0.2)
+    packed = jnp.asarray(packed)
+
+    src_means = rng.normal(0, 4.0, (b, n_src, 2)).astype(np.float32)
+    # Rig the last 4 means per lane so their TRANSFORMED positions land
+    # at centre columns ix0 = -1, -2, w, w+1 (off-grid centres with
+    # in-grid window cells).  mean = T^{-1}(target_world).
+    for i in range(b):
+        ci, si = np.cos(d_b[i, 2]), np.sin(d_b[i, 2])
+        tx = ci * T0_b[i, 0] - si * T0_b[i, 1] + d_b[i, 0]
+        ty = si * T0_b[i, 0] + ci * T0_b[i, 1] + d_b[i, 1]
+        th = d_b[i, 2] + T0_b[i, 2]
+        c, s = np.cos(th), np.sin(th)
+        ymid = origins[i, 1] + h * res / 2.0
+        for k, ix0_want in enumerate((-1, -2, w, w + 1)):
+            wx = origins[i, 0] + (ix0_want + 0.5) * res
+            dxv, dyv = wx - tx, ymid - ty
+            src_means[i, n_src - 1 - k] = (
+                c * dxv + s * dyv, -s * dxv + c * dyv
+            )
     src = CellList(
-        means=jnp.asarray(
-            rng.normal(0, 4.0, (b, n_src, 2)).astype(np.float32)
-        ),
+        means=jnp.asarray(src_means),
         covs=jnp.asarray(
             np.tile(
                 (np.eye(2) * 0.03).astype(np.float32),
                 (b, n_src, 1, 1),
             )
         ),
-        mask=jnp.asarray(rng.random((b, n_src)) > 0.2),
+        mask=jnp.asarray(
+            np.concatenate(
+                [rng.random((b, n_src - 4)) > 0.2,
+                 np.ones((b, 4), bool)], axis=1
+            )
+        ),
     )
-    # Origins so some windows fall off every edge.
-    origins = jnp.asarray(
-        rng.uniform(-7.0, -4.0, (b, 2)).astype(np.float32)
-    )
+    origins = jnp.asarray(origins)
+    d_b = jnp.asarray(d_b)
+    T0_b = jnp.asarray(T0_b)
     row_offsets = jnp.arange(b, dtype=jnp.int32) * (h * w)
-    d_b = jnp.asarray(
-        rng.normal(0, 0.1, (b, 3)).astype(np.float32)
-    )
-    T0_b = jnp.asarray(
-        rng.normal(0, 0.2, (b, 3)).astype(np.float32)
-    )
-    res = 0.5
 
     flat8 = packed.reshape(-1, 8)
     f1, g1, H1 = d2d_analytic.fgh_dense_flat_batch(
@@ -172,8 +215,10 @@ def test_wide_batch_matches_flat_batch():
     )
     wide = d2d.build_wide_table(packed, h, w, m.n_neighbours)
     wide_flat = wide.reshape(-1, wide.shape[-1])
+    stride = d2d.wide_row_stride(h, w, m.n_neighbours)
+    wide_offsets = jnp.arange(b, dtype=jnp.int32) * stride
     f2, g2, H2 = d2d_analytic.fgh_dense_wide_batch(
-        d_b, T0_b, src, wide_flat, origins, row_offsets, h, w, res, m
+        d_b, T0_b, src, wide_flat, origins, wide_offsets, h, w, res, m
     )
     np.testing.assert_allclose(
         np.asarray(f1), np.asarray(f2), rtol=1e-6, atol=1e-6
@@ -184,6 +229,17 @@ def test_wide_batch_matches_flat_batch():
     np.testing.assert_allclose(
         np.asarray(H1), np.asarray(H2), rtol=1e-5, atol=1e-5
     )
+    # The rigged off-grid-centre cells must actually contribute
+    # (guards the edge-band coverage against degenerating to 0 == 0).
+    rig_mask = np.zeros((b, n_src), bool)
+    rig_mask[:, -4:] = True
+    rig = CellList(
+        means=src.means, covs=src.covs, mask=jnp.asarray(rig_mask)
+    )
+    fr, _, _ = d2d_analytic.fgh_dense_flat_batch(
+        d_b, T0_b, rig, flat8, origins, row_offsets, h, w, res, m
+    )
+    assert np.all(np.asarray(fr) < -1e-4), np.asarray(fr)
     # And the flat-batch form itself agrees with per-lane fgh_dense_flat.
     for i in range(b):
         src_i = CellList(
