@@ -192,6 +192,31 @@ class FuserParams:
     # in the reference's shipped configs, gustav_laser_tf.launch:47).
     rolling_map: bool = False
     roll_margin: float = 10.0
+    # Sensor-window-bounded gather bank for the BATCHED fleet path
+    # (fuser.update_batch): when > 0, each stream's win-row gather
+    # table is built over a (gather_window_cells)^2 cell window
+    # centred on the predicted pose (clamped inside the grid) instead
+    # of the whole grid.  A scan only ever touches the sensor disc
+    # (~2*sensor_range/resolution + window cells), so the full-map
+    # table mostly holds rows no gather will read — and the table's
+    # VMEM residency is what sets the fleet throughput cliff (measured
+    # round 4: row-gather rate collapses ~10x when the bank spills
+    # past B~8; BENCH_NOTES).  EXACT when the window covers every
+    # source cell's (2n+1)^2 neighbourhood, i.e.
+    #   gather_window_cells >= 2*(sensor_range/resolution
+    #                             + n_neighbours + slack)
+    # with slack covering Newton trial wander (trial poses beyond the
+    # slack lose those cells' score contributions — the same effect as
+    # leaving the map).  0 = full-grid table.
+    gather_window_cells: int = 0
+    # Store the fleet path's derived win-row table in bfloat16 with
+    # CELL-RELATIVE means (mean - cell centre, bounded by resolution
+    # so bf16 quantization is ~resolution/256 ~ 2 mm at 0.5 m;
+    # absolute bf16 means at 100 m coordinates would quantize at
+    # ~0.4 m and are never used).  Halves the table bytes -> doubles
+    # the VMEM-resident fleet batch.  Pair math stays f32 (rows are
+    # upcast after the gather).
+    gather_table_bf16: bool = False
     # Static cell budget for the MATCHER's source cell list (the
     # per-scan local NDT): when > 0, registration uses only the first
     # `match_cell_budget` rows of the compacted CellList.  EXACT

@@ -52,17 +52,17 @@ def initialize(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("params", "update_map"))
-def update(
-    state: FeatureFuserState,
-    params: FuserParams,
-    Tmotion,
-    ranges,
-    hit,
-    update_map: bool = True,
+def _prepare_features(
+    state: FeatureFuserState, params: FuserParams, Tmotion, ranges, hit
 ):
-    """One scan update with feature matching.  Returns
-    (new_state, UpdateInfo, MatchResult)."""
+    """Per-stream feature half of `update` (scan projection + detect +
+    describe + RANSAC + odometry-consistency gate + paired
+    pseudo-cells).  Pure and vmappable — the batched fleet path runs
+    this under vmap (small per-stream arrays, no shared-bank gathers)
+    and feeds the pairs to fuser.update_batch.
+
+    Returns (pts, mask, feats, desc, key, feat_src, feat_tgt, res).
+    """
     fp = params.features
     pts, mask = dataset.scan_to_points(ranges, hit)
 
@@ -102,6 +102,23 @@ def update(
     pair_mask = res.inlier_mask & feats_ok
     feat_tgt = CellList(means=tgt_pts, covs=covs, mask=pair_mask)
     feat_src = CellList(means=src_pts, covs=covs, mask=pair_mask)
+    return pts, mask, feats, desc, key, feat_src, feat_tgt, res
+
+
+@functools.partial(jax.jit, static_argnames=("params", "update_map"))
+def update(
+    state: FeatureFuserState,
+    params: FuserParams,
+    Tmotion,
+    ranges,
+    hit,
+    update_map: bool = True,
+):
+    """One scan update with feature matching.  Returns
+    (new_state, UpdateInfo, MatchResult)."""
+    pts, mask, feats, desc, key, feat_src, feat_tgt, res = (
+        _prepare_features(state, params, Tmotion, ranges, hit)
+    )
 
     base, info = fuser.update(
         state.base,
@@ -122,3 +139,42 @@ def update(
         key=key,
     )
     return new_state, info, res
+
+
+@functools.partial(jax.jit, static_argnames=("params", "update_map"))
+def update_batch(
+    states: FeatureFuserState,  # batched (B, ...) pytree
+    params: FuserParams,
+    Tmotion,                    # (B, 3)
+    ranges,                     # (B, num_beams)
+    hit,                        # (B, num_beams)
+    update_map: bool = True,
+):
+    """One FULL-pipeline scan update for B independent streams —
+    semantically vmap(update): the feature half (detect + describe +
+    RANSAC + gate) runs under plain vmap (per-stream small arrays),
+    while the joint registration runs through fuser.update_batch's
+    flat-bank batch-level Newton with the paired feature term vmapped
+    in (the reference's whole per-robot online pipeline,
+    publish_graph_message.cpp:1259-1628, served as one batched
+    executable).
+
+    Returns (new_states, infos, match results) batched like inputs.
+    """
+    pts, mask, feats, desc, key, feat_src, feat_tgt, res = jax.vmap(
+        lambda st, tm, r, h: _prepare_features(st, params, tm, r, h)
+    )(states, Tmotion, ranges, hit)
+
+    base, info = fuser.update_batch.__wrapped__(
+        states.base, params, Tmotion, pts, mask,
+        feat_src=feat_src, feat_tgt=feat_tgt, update_map=update_map,
+    )
+
+    new_states = FeatureFuserState(
+        base=base,
+        prev_feats=feats,
+        prev_desc=desc,
+        prev_pose=base.Tnow,
+        key=key,
+    )
+    return new_states, info, res

@@ -303,12 +303,14 @@ def update_batch(
     Tmotion,              # (B, 3)
     pts,                  # (B, P, 2)
     mask,                 # (B, P)
+    feat_src: Optional[CellList] = None,   # batched (B, C, ...)
+    feat_tgt: Optional[CellList] = None,   # batched (B, C, ...)
     update_map: bool = True,
 ):
     """One scan update for B independent streams (fleet serving) —
-    semantically vmap(update) for the NDT+odometry path, but the
-    registration gathers index ONE flat (B*H*W, 8) packed table with
-    per-stream row offsets instead of vmapping over per-stream tables.
+    semantically vmap(update), but the registration gathers index ONE
+    flat packed table with per-stream row offsets instead of vmapping
+    over per-stream tables.
 
     Why: a vmapped gather whose OPERAND carries the batch dim lowers
     terribly on TPU — measured round 4 (examples/profile_fleet.py),
@@ -319,8 +321,11 @@ def update_batch(
     fix that took offline pair registration 4x (graph/links.py
     refine_links_d2d flat-bank form).
 
-    Feature pseudo-cell pairs are not supported here (the fleet driver
-    is the NDT-only pipeline); use vmap(update) if you need them.
+    `feat_src`/`feat_tgt` are optional BATCHED paired pseudo-cell
+    lists from per-stream feature correspondences
+    (feature_fuser._prepare_features under vmap) — small per-lane
+    arrays, so their fgh term vmaps cleanly into the batch-level
+    Newton (no shared-bank gathers involved).
 
     Returns (new_states, infos) batched like the inputs.
     """
@@ -355,25 +360,59 @@ def update_batch(
     # d2d.build_wide_table).  Derived fresh each step from the
     # incrementally-maintained packed table — pure slicing, recentre-
     # safe, ~2 ms/step at B=128 vs the ~350 ms/step it saves.
-    wide = d2d.build_wide_table(
-        states.packed, h, w, m.n_neighbours
-    )
-    stride = d2d.wide_row_stride(h, w, m.n_neighbours)
-    wide_flat = wide.reshape(b * stride, wide.shape[-1])
+    # With gather_window_cells set, the bank is additionally bounded
+    # to each stream's sensor window around the predicted pose (and
+    # optionally stored bf16 with cell-relative means) — the table's
+    # VMEM residency sets the fleet throughput cliff, see
+    # config.FuserParams.gather_window_cells / gather_table_bf16.
     origins = states.grid.origin                      # (B, 2)
-    row_offsets = jnp.arange(b, dtype=jnp.int32) * stride
+    wc = params.gather_window_cells
+    use_window = 0 < wc < min(h, w)
+    if use_window:
+        wide, cell0 = d2d.build_window_tables(
+            states.packed, origins, T_pred[:, :2], h, w,
+            m.n_neighbours, wc, res, bf16=params.gather_table_bf16,
+        )
+        stride = d2d.wide_row_stride(wc, wc, m.n_neighbours)
+        wide_flat = wide.reshape(b * stride, wide.shape[-1])
+    else:
+        wide = d2d.build_wide_table(
+            states.packed, h, w, m.n_neighbours
+        )
+        stride = d2d.wide_row_stride(h, w, m.n_neighbours)
+        wide_flat = wide.reshape(b * stride, wide.shape[-1])
+        row_offsets = jnp.arange(b, dtype=jnp.int32) * stride
     Qs_b = Q_b + Q_b.transpose(0, 2, 1)
+    use_feat = (
+        m.use_feat and feat_src is not None and feat_tgt is not None
+    )
+    if use_feat:
+        paired_fgh = jax.vmap(
+            lambda d, T0, s_, t_: d2d_analytic.fgh_paired(
+                d, T0, s_, t_, m
+            )
+        )
 
     def fgh_batch(d_b):
         f = jnp.zeros(b, jnp.float32)
         g = jnp.zeros((b, 3), jnp.float32)
         H = jnp.zeros((b, 3, 3), jnp.float32)
         if m.use_ndt:
-            f1, g1, H1 = d2d_analytic.fgh_dense_wide_batch(
-                d_b, T_pred, src_b, wide_flat, origins,
-                row_offsets, h, w, res, m,
-            )
+            if use_window:
+                f1, g1, H1 = d2d_analytic.fgh_dense_window_batch(
+                    d_b, T_pred, src_b, wide_flat, cell0, origins,
+                    wc, wc, res, m,
+                    rel_means=params.gather_table_bf16,
+                )
+            else:
+                f1, g1, H1 = d2d_analytic.fgh_dense_wide_batch(
+                    d_b, T_pred, src_b, wide_flat, origins,
+                    row_offsets, h, w, res, m,
+                )
             f, g, H = f + f1, g + g1, H + H1
+        if use_feat:
+            f2, g2, H2 = paired_fgh(d_b, T_pred, feat_src, feat_tgt)
+            f, g, H = f + f2, g + g2, H + H2
         if m.use_odom:
             # Batched fgh_mahalanobis: d^T Q d, (Q+Q^T) d, Q+Q^T.
             f = f + jnp.einsum("bi,bij,bj->b", d_b, Q_b, d_b)

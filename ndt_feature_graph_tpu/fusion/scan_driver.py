@@ -364,6 +364,42 @@ def unstack_bank(bank, n: int):
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
+def run_sequence_features_batch(params: FuserParams, states, odom,
+                                ranges, hit):
+    """FULL-pipeline fleet variant: B independent streams of the
+    feature-aware pipeline (detect + describe + RANSAC + joint
+    NDT/feature/odometry fusion + map update), each a T-step sequence,
+    inside ONE executable.
+
+    states: batched FeatureFuserState (B, ...); odom: (B, T, 3);
+    ranges: (B, T, num_beams); hit: (B, T, num_beams).
+    Returns (final_states, trajectories (B, T, 3), scores (B, T)).
+
+    The scan steps through feature_fuser.update_batch — the feature
+    half under vmap (small per-stream arrays), the registration
+    through the shared flat-bank batch-level Newton (fuser.
+    update_batch).  This is the multi-robot serving shape of the
+    reference's per-robot online node (publish_graph_message.cpp:
+    1259-1628, one ROS process per robot).
+    """
+    from ndt_feature_graph_tpu.fusion import feature_fuser
+
+    def body(sts, x):
+        tm, r, h = x
+        ns, info, _res = feature_fuser.update_batch.__wrapped__(
+            sts, params, tm, r, h
+        )
+        return ns, (ns.base.Tnow, info.score)
+
+    finals, (traj, scores) = jax.lax.scan(
+        body, states,
+        (odom.swapaxes(0, 1), ranges.swapaxes(0, 1),
+         hit.swapaxes(0, 1)),
+    )
+    return finals, traj.swapaxes(0, 1), scores.swapaxes(0, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
 def run_sequence_batch(params: FuserParams, states, odom, pts, mask):
     """Fleet variant: B independent streams, each a T-step sequence.
 

@@ -681,3 +681,73 @@ def build_wide_table(packed, h: int, w: int, n: int = 2):
 def wide_row_stride(h: int, w: int, n: int) -> int:
     """Rows per grid in a stacked win-row table (build_wide_table)."""
     return h * (w + 2 * n)
+
+
+def build_window_tables(
+    packed_b,        # (B, H*W, 8) per-stream packed tables
+    origins,         # (B, 2) grid origins (world)
+    centers,         # (B, 2) world points to centre the windows on
+    h: int,
+    w: int,
+    n: int,
+    win_cells: int,
+    resolution: float,
+    bf16: bool = False,
+):
+    """Per-stream SENSOR-WINDOW win-row tables: slice a
+    (win_cells, win_cells) cell window around each stream's predicted
+    pose out of its full packed table, then build the win-row gather
+    table over the window only.
+
+    Why: a registration gather only ever reads rows within the sensor
+    disc of the pose (~2*sensor_range/resolution cells), but the
+    full-map table spans the whole grid — at the canonical op point
+    40k rows/stream of which a scan touches <15%.  The table's VMEM
+    residency sets the fleet throughput cliff (BENCH_NOTES round 4:
+    row-gather rate collapses ~10x once the shared bank spills past
+    B~8); the window table shrinks rows by (win_cells^2 / (H*W)),
+    moving that cliff to proportionally larger B.  EXACT vs the
+    full-grid table when win_cells covers every source cell's
+    neighbourhood (config.FuserParams.gather_window_cells bound);
+    windows are clamped inside the grid so edge poses keep full
+    coverage of the in-grid sensor disc.
+
+    With bf16=True the table is stored in bfloat16 with CELL-RELATIVE
+    means (mean minus the cell's world centre, |.| <= resolution/2, so
+    quantization is ~resolution/256; see config.gather_table_bf16) —
+    halving bytes again.  Consumers add the centres back after the
+    gather (d2d_analytic.fgh_dense_window_batch).
+
+    Returns (wide (B, win_cells*(win_cells+2n), (2n+1)*8) in f32 or
+    bf16, cell0 (B, 2) int32 = (wx0, wy0) window-corner cell coords).
+    """
+    b = packed_b.shape[0]
+    wc = int(win_cells)
+    grids = packed_b.reshape(b, h, w, 8)
+
+    pcell = jnp.floor((centers - origins) / resolution).astype(jnp.int32)
+    wx0 = jnp.clip(pcell[:, 0] - wc // 2, 0, w - wc)
+    wy0 = jnp.clip(pcell[:, 1] - wc // 2, 0, h - wc)
+
+    def slice_one(g, y0, x0):
+        return jax.lax.dynamic_slice(g, (y0, x0, 0), (wc, wc, 8))
+
+    win = jax.vmap(slice_one)(grids, wy0, wx0)       # (B, wc, wc, 8)
+
+    if bf16:
+        iy = jnp.arange(wc, dtype=jnp.float32)
+        ix = jnp.arange(wc, dtype=jnp.float32)
+        cx = (
+            origins[:, None, 0]
+            + (wx0[:, None].astype(jnp.float32) + ix + 0.5) * resolution
+        )                                             # (B, wc)
+        cy = (
+            origins[:, None, 1]
+            + (wy0[:, None].astype(jnp.float32) + iy + 0.5) * resolution
+        )
+        win = win.at[..., 0].add(-cx[:, None, :])     # mean_x - centre_x
+        win = win.at[..., 1].add(-cy[:, :, None])     # mean_y - centre_y
+        win = win.astype(jnp.bfloat16)
+
+    wide = build_wide_table(win.reshape(b, wc * wc, 8), wc, wc, n)
+    return wide, jnp.stack([wx0, wy0], -1)

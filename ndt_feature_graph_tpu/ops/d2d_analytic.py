@@ -342,6 +342,117 @@ def fgh_dense_flat_batch(
     return f, grad, hess
 
 
+def fgh_dense_window_batch(
+    d_b,            # (B, 3)
+    T0_b,           # (B, 3)
+    src_b,          # CellList batched (B, N, ...)
+    wide_flat,      # (R, (2n+1)*8) win-row table (d2d.build_window_tables)
+    cell0,          # (B, 2) int32 window-corner cell coords (wx0, wy0)
+    origins,        # (B, 2) GRID origins (world)
+    wh: int,        # window height in cells
+    ww: int,        # window width in cells
+    resolution: float,
+    m: MatcherParams,
+    rel_means: bool = False,
+):
+    """fgh_dense_wide_batch against per-stream WINDOW win-row tables
+    (d2d.build_window_tables): gather indices are window-relative
+    (global cell minus `cell0`), rows outside the window are masked
+    (identical to off-grid when the window covers the sensor disc —
+    see config.gather_window_cells), and with rel_means=True the
+    gathered (possibly bf16) cell-relative means are upcast to f32 and
+    re-anchored at their cells' world centres before the pair math.
+
+    Returns (f (B,), g (B, 3), H (B, 3, 3)).
+    """
+    import jax
+
+    from ndt_feature_graph_tpu.ops.d2d import _apply_increment
+
+    n = m.n_neighbours
+    win = 2 * n + 1
+    wp = ww + 2 * n
+    b = d_b.shape[0]
+    row_offsets = jnp.arange(b, dtype=jnp.int32) * (wh * wp)
+
+    def geom(d, T0, src, origin):
+        T = _apply_increment(d, T0)
+        moved = src.transform(T)
+        rel = (moved.means - origin) / resolution
+        ix0 = jnp.floor(rel[..., 0]).astype(jnp.int32)
+        iy0 = jnp.floor(rel[..., 1]).astype(jnp.int32)
+        return moved, iy0, ix0
+
+    moved, iy0g, ix0g = jax.vmap(geom)(d_b, T0_b, src_b, origins)
+    iy0 = iy0g - cell0[:, 1:2]                      # window-relative
+    ix0 = ix0g - cell0[:, 0:1]
+
+    offs = jnp.arange(-n, n + 1)
+    iy = iy0[..., None] + offs                       # (B, N, win)
+    inb_y = (iy >= 0) & (iy < wh)
+    jx0 = ix0 + n                                    # padded column
+    inb_x0 = (jx0 >= 0) & (jx0 < wp)                 # (B, N)
+    flat = jnp.clip(iy, 0, wh - 1) * wp + jnp.clip(jx0, 0, wp - 1)[
+        ..., None
+    ]
+    linear = (row_offsets[:, None, None] + flat).reshape(-1)
+    rows = wide_flat[linear].reshape(
+        flat.shape + (win * 8,)
+    )                                                # (B, N, win, win*8)
+    rows = rows.reshape(flat.shape + (win, 8))       # (B,N,dy,dx,8)
+    k = win * win
+    rows = rows.reshape(rows.shape[:2] + (k, 8))     # (B, N, K, 8)
+    rows = rows.astype(jnp.float32)
+
+    t_means = rows[..., 0:2]
+    if rel_means:
+        # Re-anchor cell-relative means: element k of a window sits at
+        # global cell (iy0g + dy, ix0g + dx), dy = k // win - n,
+        # dx = k % win - n.
+        dxk = (jnp.arange(k) % win - n).astype(jnp.float32)
+        dyk = (jnp.arange(k) // win - n).astype(jnp.float32)
+        cxk = (
+            origins[:, None, None, 0]
+            + (ix0g[..., None].astype(jnp.float32) + dxk + 0.5)
+            * resolution
+        )
+        cyk = (
+            origins[:, None, None, 1]
+            + (iy0g[..., None].astype(jnp.float32) + dyk + 0.5)
+            * resolution
+        )
+        t_means = t_means + jnp.stack([cxk, cyk], -1)
+    c00 = rows[..., 2]
+    c01 = rows[..., 3]
+    c11 = rows[..., 4]
+    t_covs = jnp.stack(
+        [
+            jnp.stack([c00, c01], -1),
+            jnp.stack([c01, c11], -1),
+        ],
+        -2,
+    )
+    inb = (
+        jnp.repeat(inb_y, win, axis=-1)              # (B, N, K) dy-major
+        & inb_x0[..., None]
+    )
+    t_valid = (rows[..., 5] > 0.5) & inb
+
+    mu = moved.means[..., None, :] - t_means
+    Sig = moved.covs[..., None, :, :] + t_covs
+    m_rot = (moved.means - d_b[:, None, :2])[..., None, :]
+    ok = t_valid & moved.mask[..., None]
+
+    s, g, H = _pair_fgh(
+        mu, Sig, m_rot, moved.covs[..., None, :, :], m.lfd1, m.lfd2
+    )
+    okf = ok.astype(jnp.float32)
+    f = jnp.sum(s * okf, axis=(1, 2))
+    grad = jnp.sum(g * okf[..., None], axis=(1, 2))
+    hess = jnp.sum(H * okf[..., None, None], axis=(1, 2))
+    return f, grad, hess
+
+
 def fgh_dense_wide_batch(
     d_b,            # (B, 3)
     T0_b,           # (B, 3)
@@ -366,76 +477,15 @@ def fgh_dense_wide_batch(
     test_wide_batch_matches_flat_batch covers off-grid centres).
 
     `row_offsets` are per-lane offsets into the stacked win-row table
-    in units of d2d.wide_row_stride(h, w, n) = h*(w+2n).
+    in units of d2d.wide_row_stride(h, w, n) = h*(w+2n) — the
+    full-grid special case of fgh_dense_window_batch (cell0 = 0), to
+    which this delegates.
 
     Returns (f (B,), g (B, 3), H (B, 3, 3)).
     """
-    import jax
-
-    from ndt_feature_graph_tpu.ops.d2d import _apply_increment
-
-    n = m.n_neighbours
-    win = 2 * n + 1
-    wp = w + 2 * n
-
-    def geom(d, T0, src, origin):
-        T = _apply_increment(d, T0)
-        moved = src.transform(T)
-        rel = (moved.means - origin) / resolution
-        ix0 = jnp.floor(rel[..., 0]).astype(jnp.int32)
-        iy0 = jnp.floor(rel[..., 1]).astype(jnp.int32)
-        return moved, iy0, ix0
-
-    moved, iy0, ix0 = jax.vmap(geom)(d_b, T0_b, src_b, origins)
-
-    offs = jnp.arange(-n, n + 1)
-    iy = iy0[..., None] + offs                       # (B, N, win)
-    inb_y = (iy >= 0) & (iy < h)
-    jx0 = ix0 + n                                    # padded column
-    # Outside [0, wp): the whole window is horizontally off-grid —
-    # exactly the set the flat path's per-cell bounds also remove.
-    inb_x0 = (jx0 >= 0) & (jx0 < wp)                 # (B, N)
-    flat = jnp.clip(iy, 0, h - 1) * wp + jnp.clip(jx0, 0, wp - 1)[
-        ..., None
-    ]
-    linear = (row_offsets[:, None, None] + flat).reshape(-1)
-    rows = wide_flat[linear].reshape(
-        flat.shape + (win * 8,)
-    )                                                # (B, N, win, win*8)
-    rows = rows.reshape(flat.shape + (win, 8))       # (B,N,dy,dx,8)
-    k = win * win
-    rows = rows.reshape(rows.shape[:2] + (k, 8))     # (B, N, K, 8)
-
-    t_means = rows[..., 0:2]
-    c00 = rows[..., 2]
-    c01 = rows[..., 3]
-    c11 = rows[..., 4]
-    t_covs = jnp.stack(
-        [
-            jnp.stack([c00, c01], -1),
-            jnp.stack([c01, c11], -1),
-        ],
-        -2,
+    b = d_b.shape[0]
+    cell0 = jnp.zeros((b, 2), jnp.int32)
+    return fgh_dense_window_batch(
+        d_b, T0_b, src_b, wide_flat, cell0, origins, h, w,
+        resolution, m, rel_means=False,
     )
-    # Horizontal out-of-grid cells carry valid=0 from the padded table
-    # build; vertical out-of-grid rows and fully-off-grid centre
-    # columns are masked here.
-    inb = (
-        jnp.repeat(inb_y, win, axis=-1)              # (B, N, K) dy-major
-        & inb_x0[..., None]
-    )
-    t_valid = (rows[..., 5] > 0.5) & inb
-
-    mu = moved.means[..., None, :] - t_means
-    Sig = moved.covs[..., None, :, :] + t_covs
-    m_rot = (moved.means - d_b[:, None, :2])[..., None, :]
-    ok = t_valid & moved.mask[..., None]
-
-    s, g, H = _pair_fgh(
-        mu, Sig, m_rot, moved.covs[..., None, :, :], m.lfd1, m.lfd2
-    )
-    okf = ok.astype(jnp.float32)
-    f = jnp.sum(s * okf, axis=(1, 2))
-    grad = jnp.sum(g * okf[..., None], axis=(1, 2))
-    hess = jnp.sum(H * okf[..., None, None], axis=(1, 2))
-    return f, grad, hess

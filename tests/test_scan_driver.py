@@ -89,6 +89,84 @@ def test_batch_driver_shapes():
     )
 
 
+def test_features_batch_driver_matches_single_stream():
+    """The FULL-pipeline fleet step (feature_fuser.update_batch via
+    run_sequence_features_batch: vmapped detect/describe/RANSAC +
+    flat-bank joint Newton with the paired feature term) must
+    reproduce the single-stream feature driver per stream on DISTINCT
+    streams."""
+    seq = make_seq(8)
+    state0 = feature_fuser.initialize(
+        PARAMS, seq.gt[0], jnp.zeros(3), seq.ranges[0], seq.hit[0],
+        jax.random.PRNGKey(1),
+    )
+    b = 3
+    states = jax.tree.map(lambda x: jnp.stack([x] * b), state0)
+    jitter = 1e-3 * jnp.arange(b)[:, None, None]
+    odom = jnp.stack([seq.odom[1:]] * b) + jitter
+    ranges = jnp.stack([seq.ranges[1:]] * b)
+    hit = jnp.stack([seq.hit[1:]] * b)
+    finals, trajs, scores = scan_driver.run_sequence_features_batch(
+        PARAMS, states, odom, ranges, hit
+    )
+    for i in range(b):
+        _f, traj_i, scores_i = scan_driver.run_sequence_features(
+            PARAMS, state0, odom[i], seq.ranges[1:], seq.hit[1:]
+        )
+        np.testing.assert_allclose(
+            np.asarray(trajs[i]), np.asarray(traj_i),
+            rtol=0, atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(scores[i]), np.asarray(scores_i),
+            rtol=3e-2, atol=1e-2,
+        )
+
+
+def test_batch_driver_windowed_bank_exact_and_bf16_close():
+    """The sensor-window-bounded gather bank (gather_window_cells)
+    must be BIT-EXACT vs the full-grid wide table whenever the window
+    covers every source cell's neighbourhood (same rows gathered, same
+    masks); the bf16 cell-relative variant must agree to the bf16
+    quantization level (~mm poses at 0.5 m resolution)."""
+    seq = make_seq(8)
+    pts_all, mask_all = jax.vmap(dataset.scan_to_points)(
+        seq.ranges, seq.hit
+    )
+    state0 = fuser.initialize(
+        PARAMS, seq.gt[0], jnp.zeros(3), pts_all[0], mask_all[0]
+    )
+    b = 3
+    states = jax.tree.map(lambda x: jnp.stack([x] * b), state0)
+    jitter = 1e-3 * jnp.arange(b)[:, None, None]
+    odom = jnp.stack([seq.odom[1:]] * b) + jitter
+    pts = jnp.stack([pts_all[1:]] * b)
+    mask = jnp.stack([mask_all[1:]] * b)
+
+    _f0, t0, s0 = scan_driver.run_sequence_batch(
+        PARAMS, states, odom, pts, mask
+    )
+    # 72 cells covers 2*(sensor_range/res + n + slack) = 68 at this
+    # op point (15 m / 0.5 m, n=2, slack 2).
+    pw = PARAMS.replace(gather_window_cells=72)
+    _f1, t1, s1 = scan_driver.run_sequence_batch(
+        pw, states, odom, pts, mask
+    )
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s0))
+
+    pb = pw.replace(gather_table_bf16=True)
+    _f2, t2, s2 = scan_driver.run_sequence_batch(
+        pb, states, odom, pts, mask
+    )
+    np.testing.assert_allclose(
+        np.asarray(t2), np.asarray(t0), rtol=0, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(s2), np.asarray(s0), rtol=3e-2, atol=1e-2
+    )
+
+
 def test_batch_driver_matches_single_stream():
     """The flat-bank batched fleet step (fuser.update_batch via
     run_sequence_batch) must reproduce the single-stream driver per
