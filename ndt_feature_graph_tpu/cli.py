@@ -174,6 +174,76 @@ def cmd_slam(a):
     print(f"outputs in {a.out}")
 
 
+def cmd_fuse(a):
+    """Scan-to-submap NDT odometry (the NDTFuserHMT baseline node)
+    with an optional HMT live map: --hmt-dir enables the disk-backed
+    rolling window (recentres spill evicted tiles to the store and
+    recall revisited ground — beHMT + hmt_map_dir,
+    ndt_feature_fuser_hmt.h:5-16) and persists it there at the end.
+    Resume a previous run from the same directory with --resume."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ndt_feature_graph_tpu.fusion import fuser, scan_driver
+    from ndt_feature_graph_tpu.fusion.hmt_driver import HMTFuser
+    from ndt_feature_graph_tpu.io import dataset, tum
+
+    seq = _load_any_sequence(a.dataset, max_range=a.sensor_range)
+    _sync_beams(a, seq)
+    params = _params_from_args(a).fuser
+    pts_all, mask_all = jax.vmap(dataset.scan_to_points)(
+        seq.ranges, seq.hit
+    )
+    import time
+
+    t0 = time.perf_counter()
+    if a.hmt_dir:
+        if a.resume and os.path.exists(
+            os.path.join(a.hmt_dir, "hmt.json")
+        ):
+            hf = HMTFuser.load(a.hmt_dir, params)
+        else:
+            hf = HMTFuser(
+                params, seq.gt[0], jnp.zeros(3), pts_all[0],
+                mask_all[0], recenter_margin=a.recenter_margin,
+            )
+        traj = hf.run_sequence(
+            seq.odom[1:], pts_all[1:], mask_all[1:], chunk=a.chunk
+        )
+        hf.save(a.hmt_dir)
+        extra = {
+            "n_recenters": hf.n_recenters,
+            "stored_cells": hf.stored_cell_count(),
+            "recenter_s": [round(t, 3) for t in hf.recenter_times],
+        }
+    else:
+        state = fuser.initialize(
+            params, seq.gt[0], jnp.zeros(3), pts_all[0], mask_all[0]
+        )
+        _f, traj_j, _s = scan_driver.run_sequence(
+            params, state, seq.odom[1:], pts_all[1:], mask_all[1:]
+        )
+        traj = np.asarray(traj_j)
+        extra = {}
+    wall = time.perf_counter() - t0
+    n = traj.shape[0]
+    gt = np.asarray(seq.gt[1: n + 1])
+    ate = float(
+        np.sqrt(np.mean(np.sum((traj[:, :2] - gt[:, :2]) ** 2, -1)))
+    )
+    os.makedirs(a.out, exist_ok=True)
+    tum.write_tum(
+        os.path.join(a.out, "est.tum"), list(range(1, n + 1)), traj
+    )
+    print(json.dumps({
+        "n_scans": n, "wall_s": round(wall, 3),
+        "scans_per_sec": round(n / max(wall, 1e-9), 2),
+        "ate_rmse_m": round(ate, 4), **extra,
+    }))
+    print(f"outputs in {a.out}")
+
+
 def cmd_optimize(a):
     import numpy as np
     from ndt_feature_graph_tpu.graph.slam import NDTFeatureGraphSLAM
@@ -384,6 +454,21 @@ def main(argv=None):
                    help="write an interactive viewer (viewer.html)")
     _add_common(p)
     p.set_defaults(fn=cmd_slam)
+
+    p = sub.add_parser(
+        "fuse", help="scan-to-submap NDT odometry (NDTFuserHMT node);"
+        " --hmt-dir enables the disk-backed HMT live map"
+    )
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--hmt-dir", default=None,
+                   help="HMT tile-store directory (beHMT + hmt_map_dir)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from an existing --hmt-dir")
+    p.add_argument("--recenter-margin", type=float, default=10.0)
+    p.add_argument("--chunk", type=int, default=16)
+    _add_common(p)
+    p.set_defaults(fn=cmd_fuse)
 
     p = sub.add_parser("optimize", help="offline loop-closure optimization")
     p.add_argument("--graph", required=True, help="graph.npz checkpoint")
