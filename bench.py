@@ -455,6 +455,109 @@ def bench_offline(params, seq, reps=3):
     return pairs_per_sec, pairs_curve, solve_ms, int(i.shape[0])
 
 
+def bench_offline_570(params, n_loops=8, steps_per_loop=704,
+                      radius=2.8, max_nodes=600, k_pairs=512):
+    """Offline phase AT THE SCALE IT WAS BUILT FOR (VERDICT r4 item
+    4): build a ~570-node graph at the CANONICAL op point through the
+    device-resident driver (8 tight loops, node split every 0.25 m,
+    ~5.6k scans), then measure against the real ~1.4 GB node bank:
+      - link-proposal pairs/s, grouped (link_group_nodes=16) vs plain
+        chunked, same 512 candidate pairs (the grouped path exists
+        precisely because the refine gathers' working set must stay
+        small when the bank is huge);
+      - ONE end-to-end offline wall clock (propose -> refine ->
+        rescore -> fixpoint validate+solve) with grouping at the
+        winner.
+    Returns a dict of extra fields.
+    """
+    import time as _time
+
+    from ndt_feature_graph_tpu.graph import node as g_node
+
+    sparams = SLAMParams(
+        fuser=params,
+        graph=GraphParams(
+            new_node_transl_dist=0.25,
+            max_nodes=max_nodes,
+            max_links=8192,
+            valid_min_idx_dist=25,
+            offline_candidate_dist=1.0,
+            link_batch_size=256,
+            valid_max_dist=1.0,
+            valid_max_angular_dist=0.4,
+            valid_max_score=0.2,
+            solver="auto",
+            solver_dense_max_nodes=256,
+            solver_max_seg_len=64,
+            gn_iterations=12,
+            fixpoint_max_rounds=3,
+        ),
+    )
+    traj = dataset.multi_loop_trajectory(
+        n_loops=n_loops, steps_per_loop=steps_per_loop, radius=radius
+    )
+    seq570 = dataset.simulate_sequence(
+        jax.random.PRNGKey(3), traj,
+        num_beams=params.features.num_beams,
+        max_range=params.ndt.sensor_range,
+        odom_noise=(0.004, 0.004, 0.002),
+    )
+    slam = NDTFeatureGraphSLAM(sparams, seed=0)
+    slam.initialize(
+        seq570.gt[0], jnp.zeros(3), seq570.ranges[0], seq570.hit[0]
+    )
+    t0 = time.perf_counter()
+    slam.run_sequence_device(seq570.odom, seq570.ranges, seq570.hit)
+    slam.finalize_current_node()
+    build_wall = time.perf_counter() - t0
+    n = len(slam.nodes)
+    stacked = g_node.stack_nodes(slam.nodes)
+    ref, mov, mask = slam.candidate_pairs()
+    ncand = int(np.asarray(mask).sum())
+
+    # Grouped vs plain pairs/s on the same 512-pair slice of the real
+    # (locality-sorted) candidate list against the full-size bank.
+    k = min(k_pairs, ncand)
+    rates = {}
+    for gname, gn in (("plain", 0), ("grouped", 16)):
+        slam.params = sparams.replace(
+            graph=sparams.graph.replace(link_group_nodes=gn)
+        )
+        def run_prop():
+            t0 = time.perf_counter()
+            ls = slam._propose_links(
+                stacked, ref[:k], mov[:k], mask[:k]
+            )
+            # Readback forces (block_until_ready is a no-op here).
+            float(jnp.sum(ls.T) + jnp.sum(ls.score))
+            return time.perf_counter() - t0
+        run_prop()            # warm (compile)
+        rates[gname] = k / run_prop()
+
+    winner = "grouped" if rates["grouped"] >= rates["plain"] else "plain"
+    slam.params = sparams.replace(
+        graph=sparams.graph.replace(
+            link_group_nodes=16 if winner == "grouped" else 0
+        )
+    )
+    t0 = time.perf_counter()
+    node_T = np.asarray(slam.optimize_offline())
+    offline_wall = time.perf_counter() - t0
+    assert np.isfinite(node_T).all()
+
+    return {
+        "offline_nodes_built_570": n,
+        "offline_build_scans_per_sec_570": round(
+            (seq570.gt.shape[0] - 1) / build_wall, 2
+        ),
+        "offline_candidates_570": ncand,
+        "offline_pairs_per_sec_570_plain": round(rates["plain"], 2),
+        "offline_pairs_per_sec_570_grouped": round(rates["grouped"], 2),
+        "offline_pairs_winner_570": winner,
+        "offline_wall_s_570": round(offline_wall, 2),
+    }
+
+
 def main():
     params = canonical_params()
     seq = make_sequence()
@@ -464,6 +567,7 @@ def main():
     full_sps, n_nodes = bench_full_slam(params, seq)
     online_lc_sps = bench_online_lc(params, seq)
     pairs_ps, pairs_curve, solve_ms, n_edges = bench_offline(params, seq)
+    extra_570 = bench_offline_570(params)
     fleet_curve = bench_fleet(params)
     fleet_best = max(fleet_curve.values())
     print(
@@ -489,6 +593,7 @@ def main():
                         str(b): round(v, 2)
                         for b, v in fleet_curve.items()
                     },
+                    **extra_570,
                     "nodes_built": n_nodes,
                     "t_steps": T_STEPS,
                     "match_cell_budget": params.match_cell_budget,

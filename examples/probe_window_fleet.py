@@ -65,13 +65,25 @@ def measure(params, B, reps=3):
 
 def main():
     base = canonical_params()
+    import os as _os
+
+    only = _os.environ.get("PROBE_VARIANTS", "").split(",")
     variants = {
         "full_f32": base,
         "win136_f32": base.replace(gather_window_cells=136),
         "win136_bf16": base.replace(
             gather_window_cells=136, gather_table_bf16=True
         ),
+        "blk136_bf16": base.replace(
+            gather_window_cells=136, gather_table_bf16=True,
+            gather_block=True,
+        ),
+        "blk136_f32": base.replace(
+            gather_window_cells=136, gather_block=True
+        ),
     }
+    if only != [""]:
+        variants = {k: v for k, v in variants.items() if k in only}
     for name, p in variants.items():
         for B in (8, 16, 32, 64):
             try:

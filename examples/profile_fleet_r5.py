@@ -110,10 +110,17 @@ def profile(params, B, label):
 
     wc = params.gather_window_cells
     use_window = 0 < wc < min(h, w)
+    use_block = use_window and params.gather_block
 
     def table_step(k, states, odom1, pts1, mask1):
         j = odom1 + (k + 1).astype(jnp.float32) * 1e-6
         T_pred = jax.vmap(se2.compose)(states.Tnow, j)
+        if use_block:
+            blk, cell0 = d2d.build_window_block_tables(
+                states.packed, states.grid.origin, T_pred[:, :2], h, w,
+                m.n_neighbours, wc, res, bf16=params.gather_table_bf16,
+            )
+            return digest((blk.astype(jnp.float32).sum(), cell0))
         if use_window:
             wide, cell0 = d2d.build_window_tables(
                 states.packed, states.grid.origin, T_pred[:, :2], h, w,
@@ -137,46 +144,54 @@ def profile(params, B, label):
             return src
 
         src_b = jax.vmap(one)(states, pts1, mask1)
-        if use_window:
-            wide, cell0 = d2d.build_window_tables(
+        if use_block:
+            tbl, cell0 = d2d.build_window_block_tables(
+                states.packed, states.grid.origin, T_pred[:, :2], h, w,
+                m.n_neighbours, wc, res, bf16=params.gather_table_bf16,
+            )
+            hp = wc + 2 * m.n_neighbours
+            stride = hp * hp
+        elif use_window:
+            tbl, cell0 = d2d.build_window_tables(
                 states.packed, states.grid.origin, T_pred[:, :2], h, w,
                 m.n_neighbours, wc, res, bf16=params.gather_table_bf16,
             )
             stride = d2d.wide_row_stride(wc, wc, m.n_neighbours)
         else:
-            wide = d2d.build_wide_table(states.packed, h, w, m.n_neighbours)
+            tbl = d2d.build_wide_table(states.packed, h, w, m.n_neighbours)
             stride = d2d.wide_row_stride(h, w, m.n_neighbours)
             cell0 = jnp.zeros((B, 2), jnp.int32)
-        return src_b, wide.reshape(B * stride, wide.shape[-1]), cell0, T_pred
+        return src_b, tbl.reshape(B * stride, tbl.shape[-1]), cell0, T_pred
 
-    src_b, wide_flat, cell0, T_pred = prep(states, odom1, pts1, mask1)
-    src_b, wide_flat, cell0, T_pred = jax.tree.map(
-        lambda x: x.copy(), (src_b, wide_flat, cell0, T_pred)
+    src_b, tbl_flat, cell0, T_pred = prep(states, odom1, pts1, mask1)
+    src_b, tbl_flat, cell0, T_pred = jax.tree.map(
+        lambda x: x.copy(), (src_b, tbl_flat, cell0, T_pred)
     )
     dims = (wc, wc) if use_window else (h, w)
+    relm = params.gather_table_bf16 and use_window
+
+    def fgh_of(d_b, tp):
+        if use_block:
+            return d2d_analytic.fgh_dense_block_batch(
+                d_b, tp, src_b, tbl_flat, cell0, states.grid.origin,
+                wc, res, m, rel_means=relm,
+            )
+        return d2d_analytic.fgh_dense_window_batch(
+            d_b, tp, src_b, tbl_flat, cell0, states.grid.origin,
+            dims[0], dims[1], res, m, rel_means=relm,
+        )
 
     def newton_step(k, states, odom1, pts1, mask1):
         tp = T_pred + (k + 1).astype(jnp.float32) * 1e-6
-
-        def fgh_batch(d_b):
-            return d2d_analytic.fgh_dense_window_batch(
-                d_b, tp, src_b, wide_flat, cell0, states.grid.origin,
-                dims[0], dims[1], res, m,
-                rel_means=params.gather_table_bf16 and use_window,
-            )
-
         d_b, f_b, itr, conv = d2d.newton_match_batch(
-            jnp.zeros((B, 3), jnp.float32), m, fgh_batch
+            jnp.zeros((B, 3), jnp.float32), m,
+            lambda d_b: fgh_of(d_b, tp),
         )
         return jnp.sum(d_b) + jnp.sum(f_b) + jnp.sum(itr)
 
     def onetrial_step(k, states, odom1, pts1, mask1):
         tp = T_pred + (k + 1).astype(jnp.float32) * 1e-6
-        f, g, H = d2d_analytic.fgh_dense_window_batch(
-            jnp.zeros((B, 3), jnp.float32), tp, src_b, wide_flat, cell0,
-            states.grid.origin, dims[0], dims[1], res, m,
-            rel_means=params.gather_table_bf16 and use_window,
-        )
+        f, g, H = fgh_of(jnp.zeros((B, 3), jnp.float32), tp)
         return jnp.sum(f) + jnp.sum(g) + jnp.sum(H)
 
     def map_step(k, states, odom1, pts1, mask1):
@@ -210,14 +225,22 @@ def profile(params, B, label):
 
 def main():
     base = bench.canonical_params()
-    variants = [
-        ("win136_bf16", base.replace(gather_window_cells=136,
-                                     gather_table_bf16=True)),
-        ("full_f32", base),
-    ]
-    for label, p in variants:
-        for B in (8, 16, 32):
-            profile(p, B, label)
+    all_variants = {
+        "win136_bf16": base.replace(gather_window_cells=136,
+                                    gather_table_bf16=True),
+        "blk136_bf16": base.replace(gather_window_cells=136,
+                                    gather_table_bf16=True,
+                                    gather_block=True),
+        "full_f32": base,
+    }
+    names = os.environ.get(
+        "PROFILE_VARIANTS", "win136_bf16,full_f32"
+    ).split(",")
+    bs = [int(v) for v in
+          os.environ.get("PROFILE_BS", "8,16,32").split(",")]
+    for label in names:
+        for B in bs:
+            profile(all_variants[label], B, label)
 
 
 if __name__ == "__main__":

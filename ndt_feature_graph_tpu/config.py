@@ -217,6 +217,16 @@ class FuserParams:
     # the VMEM-resident fleet batch.  Pair math stays f32 (rows are
     # upcast after the gather).
     gather_table_bf16: bool = False
+    # Win-BLOCK gather table for the fleet path (requires
+    # gather_window_cells > 0): each table row carries a cell's whole
+    # (2n+1)^2 neighbourhood, so the per-trial Newton gather issues
+    # ONE row per source cell — the minimum transaction count for the
+    # window association (5x fewer than win-rows; the gather is
+    # row-transaction-bound and is the stage that degrades with fleet
+    # batch size, BENCH_NOTES round 5).  Table is (2n+1)x larger than
+    # the win-row form; combine with gather_table_bf16 to keep it
+    # ~8 MB/stream at the canonical op point.
+    gather_block: bool = False
     # Static cell budget for the MATCHER's source cell list (the
     # per-scan local NDT): when > 0, registration uses only the first
     # `match_cell_budget` rows of the compacted CellList.  EXACT

@@ -368,7 +368,15 @@ def update_batch(
     origins = states.grid.origin                      # (B, 2)
     wc = params.gather_window_cells
     use_window = 0 < wc < min(h, w)
-    if use_window:
+    use_block = use_window and params.gather_block
+    if use_block:
+        block, cell0 = d2d.build_window_block_tables(
+            states.packed, origins, T_pred[:, :2], h, w,
+            m.n_neighbours, wc, res, bf16=params.gather_table_bf16,
+        )
+        hp = wc + 2 * m.n_neighbours
+        block_flat = block.reshape(b * hp * hp, block.shape[-1])
+    elif use_window:
         wide, cell0 = d2d.build_window_tables(
             states.packed, origins, T_pred[:, :2], h, w,
             m.n_neighbours, wc, res, bf16=params.gather_table_bf16,
@@ -398,7 +406,13 @@ def update_batch(
         g = jnp.zeros((b, 3), jnp.float32)
         H = jnp.zeros((b, 3, 3), jnp.float32)
         if m.use_ndt:
-            if use_window:
+            if use_block:
+                f1, g1, H1 = d2d_analytic.fgh_dense_block_batch(
+                    d_b, T_pred, src_b, block_flat, cell0, origins,
+                    wc, res, m,
+                    rel_means=params.gather_table_bf16,
+                )
+            elif use_window:
                 f1, g1, H1 = d2d_analytic.fgh_dense_window_batch(
                     d_b, T_pred, src_b, wide_flat, cell0, origins,
                     wc, wc, res, m,

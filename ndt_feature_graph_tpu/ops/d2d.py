@@ -751,3 +751,110 @@ def build_window_tables(
 
     wide = build_wide_table(win.reshape(b, wc * wc, 8), wc, wc, n)
     return wide, jnp.stack([wx0, wy0], -1)
+
+
+def build_window_block_tables(
+    packed_b,        # (B, H*W, 8)
+    origins,         # (B, 2)
+    centers,         # (B, 2)
+    h: int,
+    w: int,
+    n: int,
+    win_cells: int,
+    resolution: float,
+    bf16: bool = False,
+):
+    """WIN-BLOCK window tables: entry (iy, jx) of a (wc+2n)^2 padded
+    window layout carries the channel blocks of ALL (2n+1)^2 cells of
+    the window centred at cell (iy-n, jx-n) — so a registration
+    evaluation gathers exactly ONE row per source cell instead of
+    (2n+1) win-rows or (2n+1)^2 cell rows.
+
+    Why: the gather is ROW-transaction-bound (BENCH_NOTES rounds 4-5:
+    win-rows at 5x fewer transactions won ~2x; the per-trial Newton
+    gather still dominates the fleet step and degrades with B).  A
+    (2n+1)^2*8-channel row is ~400 B in bf16 — the extra bytes ride
+    the same transaction far below the bandwidth bound (measured
+    round 5).  The table is (2n+1)^2/(2n+1) = 5x larger than the
+    win-row form but windowed + bf16 keeps it ~8 MB/stream at the
+    canonical op point.
+
+    Both padded axes give every centre whose window intersects the
+    window slice an exact row with per-cell validity from the empty
+    padding — numerically identical to the flat/win-row paths
+    everywhere (tests/test_d2d_analytic.py::test_block_matches_flat).
+
+    Returns (block (B, (wc+2n)^2 rows, (2n+1)^2*8) in f32 or bf16,
+    cell0 (B, 2) int32 window-corner cell coords).
+    """
+    b = packed_b.shape[0]
+    wc = int(win_cells)
+    win = 2 * n + 1
+    hp = wc + 2 * n
+    grids = packed_b.reshape(b, h, w, 8)
+
+    pcell = jnp.floor((centers - origins) / resolution).astype(jnp.int32)
+    wx0 = jnp.clip(pcell[:, 0] - wc // 2, 0, w - wc)
+    wy0 = jnp.clip(pcell[:, 1] - wc // 2, 0, h - wc)
+
+    def slice_one(g, y0, x0):
+        return jax.lax.dynamic_slice(g, (y0, x0, 0), (wc, wc, 8))
+
+    wnd = jax.vmap(slice_one)(grids, wy0, wx0)       # (B, wc, wc, 8)
+
+    if bf16:
+        iy = jnp.arange(wc, dtype=jnp.float32)
+        ix = jnp.arange(wc, dtype=jnp.float32)
+        cx = (
+            origins[:, None, 0]
+            + (wx0[:, None].astype(jnp.float32) + ix + 0.5) * resolution
+        )
+        cy = (
+            origins[:, None, 1]
+            + (wy0[:, None].astype(jnp.float32) + iy + 0.5) * resolution
+        )
+        wnd = wnd.at[..., 0].add(-cx[:, None, :])
+        wnd = wnd.at[..., 1].add(-cy[:, :, None])
+        wnd = wnd.astype(jnp.bfloat16)
+
+    empty = empty_pack_row(wnd.dtype)
+    # Doubly-padded grid: coords (iyp, jxp) = cell (iyp-n, jxp-n).
+    pv = jnp.broadcast_to(empty, (b, n, wc, 8))
+    gp = jnp.concatenate([pv, wnd, pv], axis=1)      # (B, hp, wc, 8)
+    ph = jnp.broadcast_to(empty, (b, hp, n, 8))
+    gp = jnp.concatenate([ph, gp, ph], axis=2)       # (B, hp, hp, 8)
+
+    def shift2(a, dy, dx):
+        """a shifted so out[iy, jx] = a[iy+dy, jx+dx], empty fill."""
+        out = a
+        if dy < 0:
+            out = jnp.concatenate(
+                [jnp.broadcast_to(empty, (b, -dy) + out.shape[2:]),
+                 out[:, : hp + dy]], axis=1)
+        elif dy > 0:
+            out = jnp.concatenate(
+                [out[:, dy:],
+                 jnp.broadcast_to(empty, (b, dy) + out.shape[2:])],
+                axis=1)
+        if dx < 0:
+            out = jnp.concatenate(
+                [jnp.broadcast_to(
+                    empty, out.shape[:2] + (-dx, 8)),
+                 out[:, :, : hp + dx]], axis=2)
+        elif dx > 0:
+            out = jnp.concatenate(
+                [out[:, :, dx:],
+                 jnp.broadcast_to(empty, out.shape[:2] + (dx, 8))],
+                axis=2)
+        return out
+
+    parts = [
+        shift2(gp, dy, dx)
+        for dy in range(-n, n + 1)
+        for dx in range(-n, n + 1)
+    ]
+    block = jnp.concatenate(parts, axis=-1)          # (B, hp, hp, K*8)
+    return (
+        block.reshape(b, hp * hp, win * win * 8),
+        jnp.stack([wx0, wy0], -1),
+    )

@@ -453,6 +453,102 @@ def fgh_dense_window_batch(
     return f, grad, hess
 
 
+def fgh_dense_block_batch(
+    d_b,            # (B, 3)
+    T0_b,           # (B, 3)
+    src_b,          # CellList batched (B, N, ...)
+    block_flat,     # (R, (2n+1)^2*8) win-block table
+    cell0,          # (B, 2) int32 window-corner cell coords
+    origins,        # (B, 2) grid origins (world)
+    wc: int,        # window side in cells
+    resolution: float,
+    m: MatcherParams,
+    rel_means: bool = False,
+):
+    """fgh against WIN-BLOCK window tables
+    (d2d.build_window_block_tables): ONE gathered row per source cell
+    carries its whole (2n+1)^2 neighbourhood — the minimum possible
+    transaction count for the window association (the gather is
+    row-transaction-bound, BENCH_NOTES rounds 4-5).  Masking: the
+    doubly-padded table gives every centre whose window intersects the
+    window slice an exact row with per-cell validity; centres outside
+    the padded bounds have fully-off-window neighbourhoods and are
+    masked here.  With rel_means=True the (bf16) cell-relative means
+    are upcast and re-anchored in f32 after the gather.
+
+    Returns (f (B,), g (B, 3), H (B, 3, 3)).
+    """
+    import jax
+
+    from ndt_feature_graph_tpu.ops.d2d import _apply_increment
+
+    n = m.n_neighbours
+    win = 2 * n + 1
+    hp = wc + 2 * n
+    k = win * win
+    b = d_b.shape[0]
+    row_offsets = jnp.arange(b, dtype=jnp.int32) * (hp * hp)
+
+    def geom(d, T0, src, origin):
+        T = _apply_increment(d, T0)
+        moved = src.transform(T)
+        rel = (moved.means - origin) / resolution
+        ix0 = jnp.floor(rel[..., 0]).astype(jnp.int32)
+        iy0 = jnp.floor(rel[..., 1]).astype(jnp.int32)
+        return moved, iy0, ix0
+
+    moved, iy0g, ix0g = jax.vmap(geom)(d_b, T0_b, src_b, origins)
+    iyp = iy0g - cell0[:, 1:2] + n                  # padded coords
+    jxp = ix0g - cell0[:, 0:1] + n
+    inb = (iyp >= 0) & (iyp < hp) & (jxp >= 0) & (jxp < hp)  # (B, N)
+    flat = jnp.clip(iyp, 0, hp - 1) * hp + jnp.clip(jxp, 0, hp - 1)
+    linear = (row_offsets[:, None] + flat).reshape(-1)
+    rows = block_flat[linear].reshape(
+        flat.shape + (k, 8)
+    ).astype(jnp.float32)                           # (B, N, K, 8)
+
+    t_means = rows[..., 0:2]
+    if rel_means:
+        dxk = (jnp.arange(k) % win - n).astype(jnp.float32)
+        dyk = (jnp.arange(k) // win - n).astype(jnp.float32)
+        cxk = (
+            origins[:, None, None, 0]
+            + (ix0g[..., None].astype(jnp.float32) + dxk + 0.5)
+            * resolution
+        )
+        cyk = (
+            origins[:, None, None, 1]
+            + (iy0g[..., None].astype(jnp.float32) + dyk + 0.5)
+            * resolution
+        )
+        t_means = t_means + jnp.stack([cxk, cyk], -1)
+    c00 = rows[..., 2]
+    c01 = rows[..., 3]
+    c11 = rows[..., 4]
+    t_covs = jnp.stack(
+        [
+            jnp.stack([c00, c01], -1),
+            jnp.stack([c01, c11], -1),
+        ],
+        -2,
+    )
+    t_valid = (rows[..., 5] > 0.5) & inb[..., None]
+
+    mu = moved.means[..., None, :] - t_means
+    Sig = moved.covs[..., None, :, :] + t_covs
+    m_rot = (moved.means - d_b[:, None, :2])[..., None, :]
+    ok = t_valid & moved.mask[..., None]
+
+    s, g, H = _pair_fgh(
+        mu, Sig, m_rot, moved.covs[..., None, :, :], m.lfd1, m.lfd2
+    )
+    okf = ok.astype(jnp.float32)
+    f = jnp.sum(s * okf, axis=(1, 2))
+    grad = jnp.sum(g * okf[..., None], axis=(1, 2))
+    hess = jnp.sum(H * okf[..., None, None], axis=(1, 2))
+    return f, grad, hess
+
+
 def fgh_dense_wide_batch(
     d_b,            # (B, 3)
     T0_b,           # (B, 3)

@@ -139,6 +139,14 @@ def serve_fleet_grouped(
     serving shape (the last partial group is padded by replicating
     stream 0 and its outputs dropped).
 
+    Scheduling contract: groups run SEQUENTIALLY over their whole
+    sequences — robot r in group k sees its first output only after k
+    full group-sequences have finished, i.e. worst-case startup
+    latency ~ (R/G - 1) * T * (per-scan group time).  Fine for batch
+    replay; for live serving use serve_fleet_interleaved, which
+    round-robins fixed time slices across groups so every stream
+    advances at the aggregate rate continuously.
+
     Returns (final_states, trajectories (B, T-ish...), scores) shaped
     like run_sequence_batch over the whole fleet.
     """
@@ -164,3 +172,85 @@ def serve_fleet_grouped(
             jax.tree.map(lambda x: x[: e - s], res)
         )
     return jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs)
+
+
+def serve_fleet_interleaved(
+    params: FuserParams, states, odom, pts, mask,
+    group_size: int = 8, time_chunk: int = 8,
+):
+    """serve_fleet_grouped with a PER-ROBOT LATENCY CONTRACT: instead
+    of running each G-stream group over its whole sequence before the
+    next group starts, fixed `time_chunk`-scan slices are round-robined
+    across the ceil(R/G) groups — every stream advances by time_chunk
+    scans each rotation, so per-robot progress is continuous at
+    aggregate_rate/R scans/s and the worst-case staleness is one
+    rotation (R/G - 1 group-chunks ~ (R/G-1) * time_chunk * per-scan
+    group time), independent of sequence length.  Same executable as
+    the grouped path (one compile: shapes are (G, time_chunk, ...)),
+    same arithmetic per stream (the chunk boundary only splits the
+    lax.scan — the carried FuserState is identical), so outputs match
+    serve_fleet_grouped exactly (tests/test_parallel.py).
+
+    Returns (final_states, trajectories, scores) like
+    run_sequence_batch over the whole fleet.
+    """
+    b = states.Tnow.shape[0]
+    t = odom.shape[1]
+    n_groups = -(-b // group_size)
+
+    # Per-group padded state/input slices.
+    def take(x, s, e):
+        pad = group_size - (e - s)
+        sl = x[s:e]
+        if pad:
+            sl = jnp.concatenate(
+                [sl, jnp.repeat(x[s:s + 1], pad, axis=0)]
+            )
+        return sl
+
+    g_states = []
+    bounds = []
+    for gi in range(n_groups):
+        s, e = gi * group_size, min((gi + 1) * group_size, b)
+        bounds.append((s, e))
+        g_states.append(
+            jax.tree.map(lambda x: take(x, s, e), states)
+        )
+
+    chunks = [[] for _ in range(n_groups)]  # per group: (traj, score)
+    for c0 in range(0, t, time_chunk):
+        c1 = min(c0 + time_chunk, t)
+        for gi, (s, e) in enumerate(bounds):
+            res = scan_driver.run_sequence_batch(
+                params, g_states[gi],
+                take(odom[:, c0:c1], s, e),
+                take(pts[:, c0:c1], s, e),
+                take(mask[:, c0:c1], s, e),
+            )
+            g_states[gi], traj, scores = res
+            chunks[gi].append((traj, scores))
+
+    finals = jax.tree.map(
+        lambda *xs: jnp.concatenate(xs)[:b],
+        *[jax.tree.map(lambda x: x[: e - s], st)
+          for (s, e), st in zip(bounds, g_states)],
+    )
+    trajs = jnp.concatenate(
+        [
+            jnp.concatenate([tc for tc, _ in chunks[gi]], axis=1)[
+                : bounds[gi][1] - bounds[gi][0]
+            ]
+            for gi in range(n_groups)
+        ],
+        axis=0,
+    )
+    scores = jnp.concatenate(
+        [
+            jnp.concatenate([sc for _, sc in chunks[gi]], axis=1)[
+                : bounds[gi][1] - bounds[gi][0]
+            ]
+            for gi in range(n_groups)
+        ],
+        axis=0,
+    )
+    return finals, trajs, scores

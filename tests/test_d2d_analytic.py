@@ -240,6 +240,27 @@ def test_wide_batch_matches_flat_batch():
         d_b, T0_b, rig, flat8, origins, row_offsets, h, w, res, m
     )
     assert np.all(np.asarray(fr) < -1e-4), np.asarray(fr)
+    # WIN-BLOCK table (one gathered row per source cell): identical to
+    # the flat path everywhere too — same windows, same masks, via the
+    # doubly-padded block layout.  Window = the whole grid here.
+    blockf, cell0 = d2d.build_window_block_tables(
+        packed, origins, origins + (h * res / 2.0), h, w,
+        m.n_neighbours, min(h, w), res, bf16=False,
+    )
+    hp = min(h, w) + 2 * m.n_neighbours
+    f3, g3, H3 = d2d_analytic.fgh_dense_block_batch(
+        d_b, T0_b, src, blockf.reshape(b * hp * hp, -1), cell0,
+        origins, min(h, w), res, m,
+    )
+    np.testing.assert_allclose(
+        np.asarray(f1), np.asarray(f3), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g3), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(H1), np.asarray(H3), rtol=1e-5, atol=1e-5
+    )
     # And the flat-batch form itself agrees with per-lane fgh_dense_flat.
     for i in range(b):
         src_i = CellList(

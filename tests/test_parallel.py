@@ -189,3 +189,19 @@ def test_serve_fleet_grouped_matches_single_batch():
         np.asarray(whole[1]), np.asarray(grouped[1]),
         rtol=0, atol=2e-3,
     )
+    # The latency-bounded round-robin schedule is EXACTLY the grouped
+    # path (the time-chunk boundary only splits the lax.scan; the
+    # carried state is identical) — trajectories, scores, and final
+    # states must match bit-for-bit.
+    inter = scaling.serve_fleet_interleaved(
+        params, states, odom, pts, mask, group_size=2, time_chunk=2
+    )
+    np.testing.assert_array_equal(
+        np.asarray(grouped[1]), np.asarray(inter[1])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(grouped[2]), np.asarray(inter[2])
+    )
+    for a, g in zip(jax.tree.leaves(inter[0]),
+                    jax.tree.leaves(grouped[0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(g))

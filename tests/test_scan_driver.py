@@ -166,6 +166,22 @@ def test_batch_driver_windowed_bank_exact_and_bf16_close():
         np.asarray(s2), np.asarray(s0), rtol=3e-2, atol=1e-2
     )
 
+    # Win-block variant (one gathered row per source cell): f32 is
+    # bit-exact; bf16 agrees at the quantization level.
+    pblk = pw.replace(gather_block=True)
+    _f3, t3, s3 = scan_driver.run_sequence_batch(
+        pblk, states, odom, pts, mask
+    )
+    np.testing.assert_array_equal(np.asarray(t3), np.asarray(t0))
+    np.testing.assert_array_equal(np.asarray(s3), np.asarray(s0))
+    pblk16 = pblk.replace(gather_table_bf16=True)
+    _f4, t4, s4 = scan_driver.run_sequence_batch(
+        pblk16, states, odom, pts, mask
+    )
+    np.testing.assert_allclose(
+        np.asarray(t4), np.asarray(t0), rtol=0, atol=2e-3
+    )
+
 
 def test_batch_driver_matches_single_stream():
     """The flat-bank batched fleet step (fuser.update_batch via
