@@ -268,14 +268,24 @@ def bench_full_slam(params, seq, reps=6):
     return (t - 1) / times[len(times) // 2], n_nodes
 
 
-# The win-row gather table must stay VMEM-resident for the batched
-# registration to run at speed: measured round 4, per-stream step cost
-# is ~2 ms at B=8 but 4.8-5.7 ms at B in {32, 128} (the (B*H*W, ch)
-# bank spills to HBM and the row gather rate collapses ~10x).  Streams
-# are independent, so a large fleet is served in groups at the curve's
-# best B — the curve below locates that sweet spot.
-FLEET_SIZES = (8, 16, 32)
+# Fleet serving config (round 5): sensor-window-bounded WIN-BLOCK
+# bf16 gather bank — one gathered row per source cell (the gather is
+# row-transaction-bound; this is the minimum transaction count) over
+# a 136-cell window around the predicted pose.  Measured
+# (examples/probe_window_fleet.py): aggregate 581/541/577/561 scans/s
+# at B=8/16/32/64 vs the round-4 full-grid win-row bank's
+# 386/220/172/160 — no more batch-size collapse; large fleets are
+# served at any B (serve_fleet_interleaved for the per-robot latency
+# contract).
+FLEET_SIZES = (8, 32, 64)
 FLEET_T = 40
+
+
+def fleet_params(params):
+    return params.replace(
+        gather_window_cells=136, gather_table_bf16=True,
+        gather_block=True,
+    )
 
 
 def bench_fleet(params, reps=3):
@@ -289,17 +299,18 @@ def bench_fleet(params, reps=3):
     """
     from ndt_feature_graph_tpu.parallel import scaling
 
+    fp = fleet_params(params)
     curve = {}
     for B in FLEET_SIZES:
         states, odom, pts, mask = scaling.build_fleet_inputs(
-            params, B, t_steps=FLEET_T, num_beams=720
+            fp, B, t_steps=FLEET_T, num_beams=720
         )
 
         @jax.jit
         def run(states, odom, pts, mask):
             finals, trajs, scores = (
                 scan_driver.run_sequence_batch.__wrapped__(
-                    params, states, odom, pts, mask
+                    fp, states, odom, pts, mask
                 )
             )
             return sum(
@@ -311,6 +322,47 @@ def bench_fleet(params, reps=3):
 
         def rep(k):
             float(run(states, odom + (k + 1) * 1e-5, pts, mask))
+
+        t = median_time(rep, reps)
+        curve[B] = B * (FLEET_T - 1) / t
+    return curve
+
+
+def bench_fleet_full(params, reps=3, sizes=(8, 32)):
+    """FULL-pipeline fleet serving: B independent streams of the
+    feature-aware pipeline (detect + describe + RANSAC + joint
+    NDT/feature/odometry fusion + map update) in ONE executable
+    (scan_driver.run_sequence_features_batch) — the multi-robot
+    serving shape of the reference's whole per-robot online node
+    (publish_graph_message.cpp:1259-1628).  Reports aggregate scans/s
+    per batch size."""
+    from ndt_feature_graph_tpu.parallel import scaling
+
+    fp = fleet_params(params)
+    curve = {}
+    for B in sizes:
+        states, odom, ranges, hit = (
+            scaling.build_fleet_feature_inputs(
+                fp, B, t_steps=FLEET_T, num_beams=720
+            )
+        )
+
+        @jax.jit
+        def run(states, odom, ranges, hit):
+            finals, trajs, scores = (
+                scan_driver.run_sequence_features_batch.__wrapped__(
+                    fp, states, odom, ranges, hit
+                )
+            )
+            return sum(
+                jnp.sum(x.astype(jnp.float32))
+                for x in jax.tree.leaves((finals, trajs, scores))
+            )
+
+        float(run(states, odom, ranges, hit))
+
+        def rep(k):
+            float(run(states, odom + (k + 1) * 1e-5, ranges, hit))
 
         t = median_time(rep, reps)
         curve[B] = B * (FLEET_T - 1) / t
@@ -570,6 +622,8 @@ def main():
     extra_570 = bench_offline_570(params)
     fleet_curve = bench_fleet(params)
     fleet_best = max(fleet_curve.values())
+    fleet_full_curve = bench_fleet_full(params)
+    fleet_full_best = max(fleet_full_curve.values())
     print(
         json.dumps(
             {
@@ -592,6 +646,13 @@ def main():
                     "fleet_curve": {
                         str(b): round(v, 2)
                         for b, v in fleet_curve.items()
+                    },
+                    "fleet_full_scans_per_sec": round(
+                        fleet_full_best, 2
+                    ),
+                    "fleet_full_curve": {
+                        str(b): round(v, 2)
+                        for b, v in fleet_full_curve.items()
                     },
                     **extra_570,
                     "nodes_built": n_nodes,

@@ -84,6 +84,12 @@ def main():
     }
     if only != [""]:
         variants = {k: v for k, v in variants.items() if k in only}
+    occ_every = int(_os.environ.get("PROBE_OCC_EVERY", "1"))
+    if occ_every != 1:
+        variants = {
+            f"{k}_occ{occ_every}": v.replace(occ_every=occ_every)
+            for k, v in variants.items()
+        }
     for name, p in variants.items():
         for B in (8, 16, 32, 64):
             try:

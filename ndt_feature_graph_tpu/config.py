@@ -227,6 +227,17 @@ class FuserParams:
     # the win-row form; combine with gather_table_bf16 to keep it
     # ~8 MB/stream at the canonical op point.
     gather_block: bool = False
+    # Occupancy update cadence for the BATCH (fleet) drivers: the
+    # log-odds ray scatter costs ray_samples (48) transactions per
+    # beam — ~34.5k per stream per scan, ~50x the point-stats scatter
+    # — and occupancy feeds only the graph overlap scores / map export
+    # / badness monitor, never the registration.  1 = every scan
+    # (reference parity, NDTMap per-scan update); k > 1 = the batch
+    # drivers apply the occupancy update on every k-th scan only
+    # (log-odds accumulate 1/k as fast — a serving-quality knob, not a
+    # pose-accuracy one); 0 = occupancy off.  Single-stream paths
+    # always update per scan.
+    occ_every: int = 1
     # Static cell budget for the MATCHER's source cell list (the
     # per-scan local NDT): when > 0, registration uses only the first
     # `match_cell_budget` rows of the compacted CellList.  EXACT

@@ -149,6 +149,7 @@ def update_batch(
     ranges,                     # (B, num_beams)
     hit,                        # (B, num_beams)
     update_map: bool = True,
+    occ_on=None,                # occupancy-cadence flag (fuser.update_batch)
 ):
     """One FULL-pipeline scan update for B independent streams —
     semantically vmap(update): the feature half (detect + describe +
@@ -168,6 +169,7 @@ def update_batch(
     base, info = fuser.update_batch.__wrapped__(
         states.base, params, Tmotion, pts, mask,
         feat_src=feat_src, feat_tgt=feat_tgt, update_map=update_map,
+        occ_on=occ_on,
     )
 
     new_states = FeatureFuserState(

@@ -98,10 +98,20 @@ def initialize(
 
 
 def _build_local_cells(params: FuserParams, sensor_pose, pts, mask):
-    """Scan -> NDT cell list in the vehicle frame."""
+    """Scan -> NDT cell list in the vehicle frame.
+
+    Uses the touched-candidate compaction (finalize + compact only
+    the <= P cells this scan touched — bit-exact vs the full-grid
+    to_cell_list, see ndt_map.to_cell_list_touched) whenever the
+    point capacity fits the cell capacity; the full-grid finalize was
+    the single largest fleet stage after the win-block table landed
+    (probe_scatter_stages round 5)."""
     lp = local_map_params(params)
     vpts = _vehicle_points(sensor_pose, pts)
     grid = ndt_map.empty_grid(lp, jnp.zeros(2))
+    if lp.max_points_per_scan <= lp.max_cells:
+        grid, touched = ndt_map.add_points_touched(grid, lp, vpts, mask)
+        return ndt_map.to_cell_list_touched(grid, lp, touched), vpts
     grid = ndt_map.add_points(grid, lp, vpts, mask)
     return ndt_map.to_cell_list(grid, lp), vpts
 
@@ -211,6 +221,7 @@ def update(
 def _finalize_update(
     state: FuserState, params: FuserParams, Tmotion, T_pred, Todom,
     d, score, itr, conv, pts, mask, update_map: bool,
+    update_occ: bool = True,
 ):
     """Post-registration tail of `update` (consistency gate, rolling
     recentre, map update + incremental packed refresh, bookkeeping) —
@@ -265,9 +276,10 @@ def _finalize_update(
             grid, params.ndt, world_pts, mask
         )
         packed = d2d.refresh_packed(packed, grid, params.ndt, touched)
-        grid = ndt_map.update_occupancy(
-            grid, params.ndt, world_T[:2], world_pts, mask
-        )
+        if update_occ:
+            grid = ndt_map.update_occupancy(
+                grid, params.ndt, world_T[:2], world_pts, mask
+            )
 
     moved = se2.sub(state.Tlast_fuse, Tnow)
     fused = (jnp.linalg.norm(moved[:2]) > 0.05) | (
@@ -306,6 +318,7 @@ def update_batch(
     feat_src: Optional[CellList] = None,   # batched (B, C, ...)
     feat_tgt: Optional[CellList] = None,   # batched (B, C, ...)
     update_map: bool = True,
+    occ_on=None,   # scalar bool: this step is on the occupancy cadence
 ):
     """One scan update for B independent streams (fleet serving) —
     semantically vmap(update), but the registration gathers index ONE
@@ -438,9 +451,34 @@ def update_batch(
         jnp.zeros((b, 3), jnp.float32), m, fgh_batch
     )
 
-    return jax.vmap(
+    # Occupancy cadence (config.occ_every): the log-odds ray scatter
+    # is ~50x the point-stats scatter in transactions; when gated, it
+    # runs OUTSIDE the per-lane vmap under one scalar lax.cond so
+    # off-cadence steps of a sequential scan skip it entirely.
+    gate_occ = params.occ_every != 1 and update_map
+    new_states, infos = jax.vmap(
         lambda st, tm, tp, to, d, s, it, cv, p, mk: _finalize_update(
-            st, params, tm, tp, to, d, s, it, cv, p, mk, update_map
+            st, params, tm, tp, to, d, s, it, cv, p, mk, update_map,
+            update_occ=not gate_occ,
         )
     )(states, Tmotion, T_pred, Todom, d_b, score_b, itr_b, conv_b,
       pts, mask)
+
+    if gate_occ and params.occ_every > 0:
+        def do_occ(sts):
+            def one(st, p, mk):
+                world_T = se2.compose(st.Tnow, st.sensor_pose)
+                wp = se2.transform_points(world_T, p)
+                return st._replace(grid=ndt_map.update_occupancy(
+                    st.grid, params.ndt, world_T[:2], wp, mk
+                ))
+
+            return jax.vmap(one)(sts, pts, mask)
+
+        if occ_on is None:
+            new_states = do_occ(new_states)
+        else:
+            new_states = jax.lax.cond(
+                occ_on, do_occ, lambda s: s, new_states
+            )
+    return new_states, infos

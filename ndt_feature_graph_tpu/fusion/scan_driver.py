@@ -384,17 +384,20 @@ def run_sequence_features_batch(params: FuserParams, states, odom,
     """
     from ndt_feature_graph_tpu.fusion import feature_fuser
 
+    t = odom.shape[1]
+    occ = _occ_flags(params, t)
+
     def body(sts, x):
-        tm, r, h = x
+        tm, r, h, oc = x
         ns, info, _res = feature_fuser.update_batch.__wrapped__(
-            sts, params, tm, r, h
+            sts, params, tm, r, h, occ_on=oc
         )
         return ns, (ns.base.Tnow, info.score)
 
     finals, (traj, scores) = jax.lax.scan(
         body, states,
         (odom.swapaxes(0, 1), ranges.swapaxes(0, 1),
-         hit.swapaxes(0, 1)),
+         hit.swapaxes(0, 1), occ),
     )
     return finals, traj.swapaxes(0, 1), scores.swapaxes(0, 1)
 
@@ -415,15 +418,28 @@ def run_sequence_batch(params: FuserParams, states, odom, pts, mask):
     round 4, examples/profile_fleet.py / BENCH_NOTES.md).
     """
 
+    t = odom.shape[1]
+    occ = _occ_flags(params, t)
+
     def body(sts, x):
-        tm, p, mk = x
+        tm, p, mk, oc = x
         ns, info = fuser.update_batch.__wrapped__(
-            sts, params, tm, p, mk
+            sts, params, tm, p, mk, occ_on=oc
         )
         return ns, (ns.Tnow, info.score)
 
     finals, (traj, scores) = jax.lax.scan(
         body, states,
-        (odom.swapaxes(0, 1), pts.swapaxes(0, 1), mask.swapaxes(0, 1)),
+        (odom.swapaxes(0, 1), pts.swapaxes(0, 1), mask.swapaxes(0, 1),
+         occ),
     )
     return finals, traj.swapaxes(0, 1), scores.swapaxes(0, 1)
+
+
+def _occ_flags(params: FuserParams, t: int):
+    """Per-step occupancy-cadence flags for the batch drivers
+    (config.FuserParams.occ_every)."""
+    k = params.occ_every
+    if k <= 1:
+        return jnp.ones(t, bool)
+    return (jnp.arange(t) % k) == 0

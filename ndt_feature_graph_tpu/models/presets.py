@@ -89,6 +89,31 @@ def offline_mapper(num_beams=720) -> SLAMParams:
     )
 
 
+def fleet_serving(num_beams=720, features=True) -> FuserParams:
+    """Multi-robot fleet serving operating point (round 5): the
+    batched drivers (scan_driver.run_sequence_batch /
+    run_sequence_features_batch) with the sensor-window-bounded
+    WIN-BLOCK bf16 gather bank — one gathered row per source cell, the
+    measured-best registration table shape (aggregate ~580 scans/s at
+    any B in 8..64 on one v5e chip vs ~390 peak/collapsing for the
+    round-4 full-grid bank; BENCH_NOTES round 5).  bf16 table
+    quantization moves poses by ~0.3 mm at the canonical op point
+    (tests/test_scan_driver.py).  Serve large fleets through
+    parallel/scaling.serve_fleet_interleaved for the per-robot
+    latency contract."""
+    base = FuserParams(
+        ndt=_canonical_ndt(num_beams),
+        matcher=MatcherParams(use_feat=features),
+        features=FeatureParams(num_beams=num_beams, max_range=30.0),
+        motion=MotionParams(),
+        match_cell_budget=256,
+        gather_window_cells=136,
+        gather_table_bf16=True,
+        gather_block=True,
+    )
+    return base
+
+
 def mcl_localizer(num_beams=720):
     """(map params, motion params) for NDT-MCL localization."""
     return _canonical_ndt(num_beams), MotionParams()

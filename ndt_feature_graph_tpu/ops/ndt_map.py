@@ -106,18 +106,22 @@ def add_points_touched(
     h, w = params.grid_h, params.grid_w
     flat = jnp.where(ok, iy * w + ix, h * w)  # out-of-range -> dropped
     ptsm = jnp.where(ok[..., None], pts, 0.0)
-    dnum = h * w + 1
 
-    count = grid.count + jnp.zeros(dnum, grid.count.dtype).at[flat].add(
-        ok.astype(grid.count.dtype)
-    )[:-1].reshape(h, w)
-    psum = grid.psum + jnp.zeros(
-        (dnum, 2), grid.psum.dtype
-    ).at[flat].add(ptsm)[:-1].reshape(h, w, 2)
+    # Scatter IN PLACE (mode="drop" eats the sentinel) instead of
+    # scattering into a fresh (H*W+1, ...) array and adding: the old
+    # form materialized zeros + a full-grid elementwise add per field
+    # per scan — ~1 MB of avoidable traffic per stream per scan,
+    # a visible slice of the fleet step (probe_scatter_stages r5).
+    count = grid.count.reshape(-1).at[flat].add(
+        ok.astype(grid.count.dtype), mode="drop"
+    ).reshape(h, w)
+    psum = grid.psum.reshape(-1, 2).at[flat].add(
+        ptsm, mode="drop"
+    ).reshape(h, w, 2)
     op = ptsm[..., :, None] * ptsm[..., None, :]
-    outer = grid.outer + jnp.zeros(
-        (dnum, 2, 2), grid.outer.dtype
-    ).at[flat].add(op)[:-1].reshape(h, w, 2, 2)
+    outer = grid.outer.reshape(-1, 2, 2).at[flat].add(
+        op, mode="drop"
+    ).reshape(h, w, 2, 2)
     return grid._replace(count=count, psum=psum, outer=outer), flat
 
 
@@ -140,16 +144,12 @@ def update_occupancy(
     approximation of exact ray traversal (adequate at submap resolution).
     """
     h, w = params.grid_h, params.grid_w
-    dnum = h * w + 1
 
     # Hits.
     iy, ix = cell_index(params, grid.origin, pts)
     mask = mask & jnp.all(jnp.isfinite(pts), axis=-1)
     ok = mask & in_bounds(params, iy, ix)
     flat = jnp.where(ok, iy * w + ix, h * w)
-    hit = jnp.zeros(dnum, grid.occ.dtype).at[flat].add(
-        jnp.where(ok, params.occ_hit, 0.0)
-    )[:-1].reshape(h, w)
 
     # Misses: sample along each ray, strictly before the endpoint.
     s = (jnp.arange(params.ray_samples) + 0.5) / params.ray_samples
@@ -161,12 +161,15 @@ def update_occupancy(
     # Don't decrement the endpoint cell itself.
     rok = rok & ~((riy == iy[:, None]) & (rix == ix[:, None]))
     rflat = jnp.where(rok, riy * w + rix, h * w).reshape(-1)
-    miss = jnp.zeros(dnum, grid.occ.dtype).at[rflat].add(
-        jnp.where(rok.reshape(-1), params.occ_miss, 0.0)
-    )[:-1].reshape(h, w)
 
+    # In-place scatters (mode="drop") — see add_points_touched.
+    occ_acc = grid.occ.reshape(-1).at[flat].add(
+        jnp.where(ok, params.occ_hit, 0.0), mode="drop"
+    ).at[rflat].add(
+        jnp.where(rok.reshape(-1), params.occ_miss, 0.0), mode="drop"
+    )
     occ = jnp.clip(
-        grid.occ + hit + miss, -params.occ_clamp, params.occ_clamp
+        occ_acc.reshape(h, w), -params.occ_clamp, params.occ_clamp
     )
     return grid._replace(occ=occ)
 
@@ -255,6 +258,38 @@ def to_cell_list(grid: NDTGrid, params: NDTMapParams) -> CellList:
     means = mean.reshape(-1, 2)[idx]
     covs = cov.reshape(-1, 2, 2)[idx]
     return CellList(means=means, covs=covs, mask=got)
+
+
+def to_cell_list_touched(
+    grid: NDTGrid, params: NDTMapParams, flat_touched
+) -> CellList:
+    """to_cell_list when every valid cell is known to lie within the
+    `flat_touched` ids (a grid built from ONE scan, e.g. the per-scan
+    local NDT): finalize and compact only the <= P unique touched
+    candidates instead of all H*W cells.
+
+    Bit-exact vs to_cell_list (same cells, same ascending-flat-index
+    order, same stats — jnp.unique sorts, and valid => count >=
+    min_points => touched) whenever the unique-candidate count fits
+    max_cells; callers must guarantee
+    max_points_per_scan <= max_cells (fusion/fuser._build_local_cells
+    checks and falls back).  The full-grid form finalizes ~16k cells
+    and runs an H*W-wide compaction per stream per scan — measured as
+    the single largest fleet stage once the win-block table removed
+    the gather bottleneck (probe_scatter_stages round 5).
+    """
+    h, w = params.grid_h, params.grid_w
+    cap = params.max_cells
+    cand = jnp.unique(flat_touched, size=cap, fill_value=h * w)
+    safe = jnp.minimum(cand, h * w - 1)
+    n = grid.count.reshape(-1)[safe]
+    ps = grid.psum.reshape(-1, 2)[safe]
+    op = grid.outer.reshape(-1, 2, 2)[safe]
+    mean, cov, valid = finalize_stats(n, ps, op, params)
+    valid = valid & (cand < h * w)
+    idx = jnp.nonzero(valid, size=cap, fill_value=cap - 1)[0]
+    got = jnp.arange(cap) < jnp.sum(valid)
+    return CellList(means=mean[idx], covs=cov[idx], mask=got)
 
 
 def recenter(grid: NDTGrid, params: NDTMapParams, new_center):

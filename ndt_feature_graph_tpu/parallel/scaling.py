@@ -46,6 +46,37 @@ def build_fleet_inputs(params: FuserParams, n_streams, t_steps=20,
     return states, odom, pts, mask
 
 
+def build_fleet_feature_inputs(params: FuserParams, n_streams,
+                               t_steps=20, num_beams=360, seed=0):
+    """Fleet inputs for the FULL-pipeline batch driver
+    (run_sequence_features_batch): raw (ranges, hit) streams + batched
+    FeatureFuserState, per-stream odometry jitter for distinct work."""
+    from ndt_feature_graph_tpu.fusion import feature_fuser
+
+    traj = dataset.loop_trajectory(t_steps, radius=5.0)
+    seq = dataset.simulate_sequence(
+        jax.random.PRNGKey(seed), traj, num_beams=num_beams,
+        max_range=params.ndt.sensor_range,
+    )
+    state = feature_fuser.initialize(
+        params, seq.gt[0], jnp.zeros(3), seq.ranges[0], seq.hit[0],
+        jax.random.PRNGKey(seed + 1),
+    )
+    states = jax.tree.map(
+        lambda x: jnp.stack([x] * n_streams), state
+    )
+    # Distinct per-stream work: odometry jitter + per-stream PRNG keys.
+    states = states._replace(
+        key=jax.random.split(jax.random.PRNGKey(seed + 2), n_streams)
+    )
+    base = jnp.stack([seq.odom[1:]] * n_streams)
+    jitter = 1e-4 * jnp.arange(n_streams)[:, None, None]
+    odom = base + jitter
+    ranges = jnp.stack([seq.ranges[1:]] * n_streams)
+    hit = jnp.stack([seq.hit[1:]] * n_streams)
+    return states, odom, ranges, hit
+
+
 def measure_fleet_throughput(
     params: FuserParams,
     n_devices,

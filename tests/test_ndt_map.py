@@ -198,3 +198,40 @@ def test_recenter_preserves_retained_cells():
     gone = ndt_map.recenter(grid, PARAMS, jnp.asarray([100.0, 100.0]))
     assert float(jnp.sum(gone.count)) == 0.0
     assert float(jnp.sum(jnp.abs(gone.occ))) == 0.0
+
+
+def test_to_cell_list_touched_bit_exact():
+    """The touched-candidate compaction (to_cell_list_touched — the
+    fleet path's local-cell build) is BIT-exact vs the full-grid
+    to_cell_list: same cells, same ascending order, same stats."""
+    import numpy as np
+
+    from ndt_feature_graph_tpu.io import dataset
+
+    p = NDTMapParams(
+        resolution=0.5, size_x=30.0, size_y=30.0, sensor_range=15.0,
+        max_points_per_scan=512, max_cells=512,
+    )
+    for seed in range(3):
+        traj = dataset.loop_trajectory(4, radius=3.0)
+        seq = dataset.simulate_sequence(
+            jax.random.PRNGKey(seed), traj, num_beams=360,
+            max_range=15.0,
+        )
+        pts, mask = dataset.scan_to_points(seq.ranges[1], seq.hit[1])
+        g = ndt_map.empty_grid(p, jnp.zeros(2))
+        g, touched = ndt_map.add_points_touched(g, p, pts, mask)
+        a = ndt_map.to_cell_list(g, p)
+        b = ndt_map.to_cell_list_touched(g, p, touched)
+        n_valid = int(jnp.sum(a.mask))
+        assert n_valid > 20, n_valid
+        np.testing.assert_array_equal(
+            np.asarray(a.mask), np.asarray(b.mask)
+        )
+        m = np.asarray(a.mask)
+        np.testing.assert_array_equal(
+            np.asarray(a.means)[m], np.asarray(b.means)[m]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.covs)[m], np.asarray(b.covs)[m]
+        )

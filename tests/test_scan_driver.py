@@ -89,6 +89,41 @@ def test_batch_driver_shapes():
     )
 
 
+def test_batch_driver_occ_cadence_never_touches_poses():
+    """config.occ_every gates only the occupancy ray scatter in the
+    batch drivers: trajectories and scores are bit-identical at any
+    cadence (occupancy never feeds registration), and occ_every=0
+    leaves log-odds at the initialize()-only content."""
+    seq = make_seq(8)
+    pts_all, mask_all = jax.vmap(dataset.scan_to_points)(
+        seq.ranges, seq.hit
+    )
+    state0 = fuser.initialize(
+        PARAMS, seq.gt[0], jnp.zeros(3), pts_all[0], mask_all[0]
+    )
+    b = 2
+    states = jax.tree.map(lambda x: jnp.stack([x] * b), state0)
+    odom = jnp.stack([seq.odom[1:]] * b)
+    pts = jnp.stack([pts_all[1:]] * b)
+    mask = jnp.stack([mask_all[1:]] * b)
+    f0, t0, s0 = scan_driver.run_sequence_batch(
+        PARAMS, states, odom, pts, mask
+    )
+    f4, t4, s4 = scan_driver.run_sequence_batch(
+        PARAMS.replace(occ_every=4), states, odom, pts, mask
+    )
+    np.testing.assert_array_equal(np.asarray(t4), np.asarray(t0))
+    np.testing.assert_array_equal(np.asarray(s4), np.asarray(s0))
+    assert float(jnp.abs(f4.grid.occ - f0.grid.occ).max()) > 0.0
+    fz, tz, _sz = scan_driver.run_sequence_batch(
+        PARAMS.replace(occ_every=0), states, odom, pts, mask
+    )
+    np.testing.assert_array_equal(np.asarray(tz), np.asarray(t0))
+    np.testing.assert_array_equal(
+        np.asarray(fz.grid.occ[0]), np.asarray(state0.grid.occ)
+    )
+
+
 def test_features_batch_driver_matches_single_stream():
     """The FULL-pipeline fleet step (feature_fuser.update_batch via
     run_sequence_features_batch: vmapped detect/describe/RANSAC +
