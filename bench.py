@@ -70,6 +70,11 @@ def canonical_params():
     # fills ~10-20% of the 1024-cell capacity; verify_cell_budget
     # checks every scan of the bench sequence before the budget is
     # trusted), and the window gather is the per-scan hot cost.
+    # gather_window_cells/gather_block: the f32 WIN-BLOCK gather table
+    # (one gathered row per source cell over a 136-cell sensor window)
+    # — BIT-EXACT vs the flat path (tests) and measured r5: fuser 445
+    # -> 608, full SLAM 167 -> 197 scans/s single-stream.  The fleet
+    # preset additionally uses bf16 rows (fleet_params below).
     return FuserParams(
         ndt=NDTMapParams(
             resolution=0.5,
@@ -81,6 +86,8 @@ def canonical_params():
         ),
         features=FeatureParams(num_beams=720, max_range=30.0),
         match_cell_budget=MATCH_CELL_BUDGET,
+        gather_window_cells=136,
+        gather_block=True,
     )
 
 
@@ -271,12 +278,17 @@ def bench_full_slam(params, seq, reps=6):
 # Fleet serving config (round 5): sensor-window-bounded WIN-BLOCK
 # bf16 gather bank — one gathered row per source cell (the gather is
 # row-transaction-bound; this is the minimum transaction count) over
-# a 136-cell window around the predicted pose.  Measured
-# (examples/probe_window_fleet.py): aggregate 581/541/577/561 scans/s
+# a 136-cell window around the predicted pose, plus in-place scatters
+# and touched-only local compaction.  Measured
+# (examples/probe_window_fleet.py): aggregate 762/709/748/730 scans/s
 # at B=8/16/32/64 vs the round-4 full-grid win-row bank's
 # 386/220/172/160 — no more batch-size collapse; large fleets are
 # served at any B (serve_fleet_interleaved for the per-robot latency
-# contract).
+# contract).  With the occupancy ray scatter at serving cadence
+# (occ_every=4 — poses bit-identical, occupancy accumulates 1/4 as
+# fast): 890/823/901/874.  The headline fleet curve keeps per-scan
+# occupancy (reference parity); the occ4 number is reported as an
+# extra field.
 FLEET_SIZES = (8, 32, 64)
 FLEET_T = 40
 
@@ -325,7 +337,34 @@ def bench_fleet(params, reps=3):
 
         t = median_time(rep, reps)
         curve[B] = B * (FLEET_T - 1) / t
-    return curve
+
+    # Serving-cadence extra: occupancy every 4th scan (poses
+    # bit-identical — tests/test_scan_driver.py).
+    B = 32
+    fp4 = fp.replace(occ_every=4)
+    states, odom, pts, mask = scaling.build_fleet_inputs(
+        fp4, B, t_steps=FLEET_T, num_beams=720
+    )
+
+    @jax.jit
+    def run4(states, odom, pts, mask):
+        finals, trajs, scores = (
+            scan_driver.run_sequence_batch.__wrapped__(
+                fp4, states, odom, pts, mask
+            )
+        )
+        return sum(
+            jnp.sum(x.astype(jnp.float32))
+            for x in jax.tree.leaves((finals, trajs, scores))
+        )
+
+    float(run4(states, odom, pts, mask))
+
+    def rep4(k):
+        float(run4(states, odom + (k + 1) * 1e-5, pts, mask))
+
+    occ4 = B * (FLEET_T - 1) / median_time(rep4, reps)
+    return curve, occ4
 
 
 def bench_fleet_full(params, reps=3, sizes=(8, 32)):
@@ -620,7 +659,7 @@ def main():
     online_lc_sps = bench_online_lc(params, seq)
     pairs_ps, pairs_curve, solve_ms, n_edges = bench_offline(params, seq)
     extra_570 = bench_offline_570(params)
-    fleet_curve = bench_fleet(params)
+    fleet_curve, fleet_occ4 = bench_fleet(params)
     fleet_best = max(fleet_curve.values())
     fleet_full_curve = bench_fleet_full(params)
     fleet_full_best = max(fleet_full_curve.values())
@@ -647,6 +686,7 @@ def main():
                         str(b): round(v, 2)
                         for b, v in fleet_curve.items()
                     },
+                    "fleet_scans_per_sec_occ4": round(fleet_occ4, 2),
                     "fleet_full_scans_per_sec": round(
                         fleet_full_best, 2
                     ),

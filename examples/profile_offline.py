@@ -88,7 +88,7 @@ def main():
     # Occupancy stats: how much of the padded work is real?
     cell_counts = np.asarray(jnp.sum(stacked.cells.mask, axis=1))
     valid_counts = np.asarray(
-        jnp.sum(stacked.target.valid.reshape(n, -1), axis=1)
+        jnp.sum(stacked.target.packed[..., 5] > 0.5, axis=1)
     )
     print(
         f"cells/node (of {params.ndt.max_cells} padded): "
@@ -97,7 +97,7 @@ def main():
     )
     print(
         f"valid target cells/node (of "
-        f"{stacked.target.valid.shape[1] * stacked.target.valid.shape[2]}"
+        f"{stacked.target.packed.shape[1]}"
         f" grid): mean {valid_counts.mean():.0f} max {valid_counts.max()}",
         flush=True,
     )
@@ -204,6 +204,8 @@ def main():
         def one(ref_i, mov_i, T0):
             refn = jax.tree.map(lambda x: x[ref_i], stacked)
             movn = jax.tree.map(lambda x: x[mov_i], stacked)
+            refn = refn._replace(target=d2d.dense_from_packed(
+                refn.target, p.ndt.grid_h, p.ndt.grid_w))
 
             def score_fn(d):
                 return d2d.d2d_score_dense(

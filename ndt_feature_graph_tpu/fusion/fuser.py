@@ -169,6 +169,22 @@ def update(
     tgt_packed = state.packed
     tgt_origin = state.grid.origin
 
+    # Optional win-block gather table (config.gather_window_cells +
+    # gather_block, same machinery as the fleet path at B=1): ONE
+    # gathered row per source cell per trial instead of (2n+1)^2.
+    wc = params.gather_window_cells
+    use_block = (
+        m.use_ndt and params.gather_block and 0 < wc < min(h, w)
+    )
+    if use_block:
+        blk, blk_cell0 = d2d.build_window_block_tables(
+            tgt_packed[None], tgt_origin[None], T_pred[None, :2],
+            h, w, m.n_neighbours, wc, res,
+            bf16=params.gather_table_bf16,
+        )
+        blk_flat = blk.reshape(-1, blk.shape[-1])
+        src_b1 = jax.tree.map(lambda x: x[None], src)
+
     Q = _increment_information(params, Tmotion, T_pred)
 
     use_feat = (
@@ -194,7 +210,14 @@ def update(
         f = jnp.float32(0.0)
         g = jnp.zeros(3)
         H = jnp.zeros((3, 3))
-        if m.use_ndt:
+        if use_block:
+            f1b, g1b, H1b = d2d_analytic.fgh_dense_block_batch(
+                d[None], T_pred[None], src_b1, blk_flat, blk_cell0,
+                tgt_origin[None], wc, res, m,
+                rel_means=params.gather_table_bf16,
+            )
+            f, g, H = f + f1b[0], g + g1b[0], H + H1b[0]
+        elif m.use_ndt:
             f1, g1, H1 = d2d_analytic.fgh_dense_flat(
                 d, T_pred, src, tgt_packed, tgt_origin, 0, h, w, res, m
             )

@@ -28,7 +28,8 @@ class NodeData(NamedTuple):
     T: jnp.ndarray             # (3,) node frame -> global
     Tlocal_odom: jnp.ndarray   # (3,)
     Tlocal_fuse: jnp.ndarray   # (3,)
-    target: d2d.DenseTarget    # finalized NDT fields (node frame)
+    target: d2d.PackedTarget   # packed NDT registration table (node
+                               # frame); unpack via d2d.dense_from_packed
     cells: ndt_map.CellList    # compacted gaussians (node frame)
     occ_origin: jnp.ndarray    # (2,)
     occ: jnp.ndarray           # (H, W) log-odds
@@ -114,7 +115,12 @@ def freeze_node(
     finalize/compaction math eagerly would cost dozens of ~10-20 ms
     tunnel round trips per split (measured: ~0.7 s/split before this
     was one executable)."""
-    target = d2d.make_dense_target(fstate.grid, params.ndt)
+    # The fuser maintains the packed registration table incrementally
+    # (invariant: fstate.packed == make_dense_target(grid).packed) —
+    # archive it directly; no full-grid re-finalize at the split.
+    target = d2d.PackedTarget(
+        origin=fstate.grid.origin, packed=fstate.packed
+    )
     cells = ndt_map.to_cell_list(fstate.grid, params.ndt)
     return NodeData(
         T=jnp.asarray(node_T, jnp.float32),
@@ -160,11 +166,8 @@ def empty_node(params: FuserParams, fm_capacity: int) -> NodeData:
         T=z3,
         Tlocal_odom=z3,
         Tlocal_fuse=z3,
-        target=d2d.DenseTarget(
+        target=d2d.PackedTarget(
             origin=jnp.zeros(2),
-            means=jnp.zeros((h, w, 2)),
-            covs=jnp.zeros((h, w, 2, 2)),
-            valid=jnp.zeros((h, w), bool),
             packed=jnp.zeros((h * w, 8)),
         ),
         cells=ndt_map.CellList(

@@ -847,10 +847,12 @@ class NDTFeatureGraphSLAM:
             "trajectory": jnp.asarray(np.stack(self.trajectory)),
             "times": jnp.asarray(np.asarray(self.times, np.float32)),
         }
-        # The packed gather layout (~1.3 MB/node) is derivable from
-        # means/covs/valid — reconstructed on load (serialize.
-        # derive_packed), not stored.
-        serialize.save_pytree(path, tree, exclude_suffixes=("/packed",))
+        # The packed table IS the node target's storage now
+        # (PackedTarget, round 5) — saved directly.  Checkpoints from
+        # before the slim target (they stored means/covs/valid and
+        # excluded packed) still load: serialize.derive_packed
+        # rebuilds the packed leaf from the stored siblings.
+        serialize.save_pytree(path, tree)
 
     @classmethod
     def load(cls, path, params: SLAMParams):

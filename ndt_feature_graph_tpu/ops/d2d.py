@@ -60,6 +60,45 @@ class DenseTarget(NamedTuple):
     packed: jnp.ndarray   # (H * W, 8)
 
 
+class PackedTarget(NamedTuple):
+    """Slim registration target: origin + the (H*W, 8) channel-packed
+    table ONLY — what the production graph paths actually read (flat
+    gathers + origin).  Node banks store this instead of a full
+    DenseTarget: the unpacked means/covs/valid duplicated the packed
+    channels, and the bank-sized (N, H, W, 2, 2) zero-broadcast
+    intermediates picked a (2, 128)-tiled layout that padded 64x
+    (measured round 5: a 600-node canonical bank allocated 24.5 GB
+    and OOM'd the 16 GB chip).  means/covs/valid views are derivable
+    by slicing (unpack_fields / dense_from_packed)."""
+
+    origin: jnp.ndarray   # (2,)
+    packed: jnp.ndarray   # (H * W, 8)
+
+
+def unpack_fields(packed, h: int, w: int):
+    """Inverse of _pack_fields: (means (H,W,2), covs (H,W,2,2),
+    valid (H,W)) views sliced out of the packed channels."""
+    g = packed.reshape(h, w, 8)
+    means = g[..., 0:2]
+    c00, c01, c11 = g[..., 2], g[..., 3], g[..., 4]
+    covs = jnp.stack(
+        [
+            jnp.stack([c00, c01], -1),
+            jnp.stack([c01, c11], -1),
+        ],
+        -2,
+    )
+    valid = g[..., 5] > 0.5
+    return means, covs, valid
+
+
+def dense_from_packed(pt: "PackedTarget", h: int, w: int) -> "DenseTarget":
+    """Full DenseTarget view of a PackedTarget (tests/examples that
+    drive fgh_dense directly)."""
+    means, covs, valid = unpack_fields(pt.packed, h, w)
+    return DenseTarget(pt.origin, means, covs, valid, pt.packed)
+
+
 def _pack_fields(means, covs, valid):
     h, w = valid.shape
     ch = jnp.stack(

@@ -127,7 +127,7 @@ def test_flat_bank_paths_match_per_node_paths():
     offsets, _overlap_score_flat) must agree with the per-node
     reference forms they replaced — same numbers, no per-pair grid
     copies."""
-    from ndt_feature_graph_tpu.ops import d2d_analytic
+    from ndt_feature_graph_tpu.ops import d2d, d2d_analytic
     from ndt_feature_graph_tpu.ops.ndt_map import CellList
 
     slam = _nodes_and_truth(1)
@@ -153,7 +153,8 @@ def test_flat_bank_paths_match_per_node_paths():
         d = jnp.asarray(rng.normal(0, 0.02, 3).astype(np.float32))
 
         f0, g0, H0 = d2d_analytic.fgh_dense(
-            d, T0, mov.cells, ref.target, mp, m
+            d, T0, mov.cells,
+            d2d.dense_from_packed(ref.target, h, w), mp, m,
         )
         src = CellList(
             means=nodes.cells.means[mov_i],
