@@ -92,3 +92,28 @@ def test_cli_simulate_eval(tmp_path):
         "eval", "--est", str(tmp_path / "a.tum"),
         "--gt", str(tmp_path / "a.tum"),
     ])
+
+
+def test_cli_fuse_hmt_dir_and_resume(tmp_path):
+    """cli fuse --hmt-dir: the NDTFuserHMT odometry node with the
+    disk-backed HMT live map — runs, persists the tile store, and
+    resumes from it."""
+    seqf = str(tmp_path / "seq.npz")
+    cli.main([
+        "simulate", "--out", seqf, "--trajectory", "corridor",
+        "--steps", "24", "--num-beams", "180", "--sensor-range", "6",
+        "--seed", "2",
+    ])
+    out = str(tmp_path / "out")
+    hmt = str(tmp_path / "hmt")
+    args = [
+        "fuse", "--dataset", seqf, "--out", out, "--hmt-dir", hmt,
+        "--map-size", "20", "--sensor-range", "6",
+        "--num-beams", "180", "--recenter-margin", "2",
+        "--chunk", "4",
+    ]
+    cli.main(args)
+    assert os.path.exists(os.path.join(hmt, "hmt.json"))
+    assert os.path.exists(os.path.join(out, "est.tum"))
+    # Resume from the persisted store.
+    cli.main(args + ["--resume"])
