@@ -295,8 +295,17 @@ def valid_links(
     d = jnp.linalg.norm(links.T[:, :2] - Tg[:, :2], axis=-1)
     a = jnp.abs(se2.normalize_angle(links.T[:, 2] - Tg[:, 2]))
     idx_dist = jnp.abs(links.ref - links.mov)
+    # Degenerate registrations (no overlapping cells) can leave a
+    # non-finite pose/covariance — never a usable factor (seen on the
+    # 570-node canonical run, round 5).
+    finite = (
+        jnp.all(jnp.isfinite(links.T), axis=-1)
+        & jnp.all(jnp.isfinite(links.cov), axis=(-2, -1))
+        & jnp.isfinite(links.score)
+    )
     return (
         links.mask
+        & finite
         & (links.score <= gp.valid_max_score)
         & (d <= gp.valid_max_dist)
         & (a <= gp.valid_max_angular_dist)

@@ -41,6 +41,14 @@ def spd_info_np(cov, eps: float = 1e-6):
 
     c = np.asarray(cov, np.float64)
     c = 0.5 * (c + c.T)
+    if not np.isfinite(c).all():
+        # A degenerate registration (no overlapping cells -> garbage
+        # Hessian) can produce a non-finite covariance; claim only the
+        # floor information instead of crashing the solve.  Such links
+        # should normally be cut by the validation gates
+        # (links.valid_links drops non-finite links) — this is the
+        # defensive backstop for direct callers.
+        return (np.eye(c.shape[0]) * eps).astype(np.float32)
     w, v = np.linalg.eigh(c)
     w = np.maximum(w, eps)
     return ((v / w) @ v.T).astype(np.float32)
