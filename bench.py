@@ -546,12 +546,13 @@ def bench_offline(params, seq, reps=3):
     return pairs_per_sec, pairs_curve, solve_ms, int(i.shape[0])
 
 
-def bench_offline_570(params, n_loops=8, steps_per_loop=704,
+def bench_offline_570(params, n_loops=10, steps_per_loop=704,
                       radius=2.8, max_nodes=600, k_pairs=512):
     """Offline phase AT THE SCALE IT WAS BUILT FOR (VERDICT r4 item
     4): build a ~570-node graph at the CANONICAL op point through the
-    device-resident driver (8 tight loops, node split every 0.25 m,
-    ~5.6k scans), then measure against the real ~1.4 GB node bank:
+    device-resident driver (10 tight loops, node split every 0.25 m,
+    ~7k scans; measured 459 nodes at 8 loops -> ~570 at 10), then
+    measure against the real multi-GB node bank:
       - link-proposal pairs/s, grouped (link_group_nodes=16) vs plain
         chunked, same 512 candidate pairs (the grouped path exists
         precisely because the refine gathers' working set must stay

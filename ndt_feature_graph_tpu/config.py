@@ -280,14 +280,16 @@ class GraphParams:
     # link_group_nodes > 0 additionally groups consecutive candidate
     # pairs so each chunk references at most this many distinct nodes,
     # and runs the chunk against a compact gathered sub-bank instead of
-    # the whole node bank.  Keeps the refine gathers' working set
-    # VMEM-resident at any graph size: the row-gather rate collapses
-    # ~3x between a 20 MB and a 330 MB bank (measured round 4, 926 ->
-    # 338 pairs/s at 256-node banks, BENCH_NOTES).  Candidate lists
-    # are locality-sorted (ascending ref, distance-gated mov), so
-    # consecutive grouping is near-optimal.  Results are identical to
-    # ungrouped processing (same per-pair math; lanes are independent
-    # in the lockstep Newton).  0 = off.  Requires link_batch_size > 0.
+    # the whole node bank.  Results are identical to ungrouped
+    # processing (same per-pair math; lanes are independent in the
+    # lockstep Newton).  0 = off.  Requires link_batch_size > 0.
+    # MEASURED VERDICT (round 5, BENCH_NOTES): at the 459-node
+    # canonical bank the grouped path runs 37 pairs/s vs 316 for the
+    # plain chunked path — an 8.5x LOSS (chunk fragmentation + per-
+    # chunk sub-bank copies dominate; the plain flat-bank gathers
+    # never collapsed the way the round-4 small-scale extrapolation
+    # predicted).  Keep 0 unless a future shape is genuinely
+    # working-set-bound.
     link_group_nodes: int = 0
     # incremental edge source between consecutive nodes:
     # "fuse" (fused local pose) or "odom" (raw local odometry) —
