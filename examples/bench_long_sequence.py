@@ -167,12 +167,17 @@ def main():
 
     out = {
         "t_steps": T_STEPS,
-        "graph": bench_graph(params, seq, online_lc=False),
-        "graph_online_lc": bench_graph(params, seq, online_lc=True),
-        "hmt": bench_hmt(params),
         "match_cell_budget": params.match_cell_budget,
         "max_scan_cells_seen": max_cells,
     }
+    for name, fn in (
+        ("graph", lambda: bench_graph(params, seq, online_lc=False)),
+        ("graph_online_lc",
+         lambda: bench_graph(params, seq, online_lc=True)),
+        ("hmt", lambda: bench_hmt(params)),
+    ):
+        out[name] = fn()
+        print(name, json.dumps(out[name]), flush=True)
     print(json.dumps(out))
 
 

@@ -205,6 +205,30 @@ def assemble_normal_equations(p, edges: EdgeList, n: int,
     return H, b
 
 
+def f32_matmul(fn):
+    """TPU correctness guard for the pose-graph LINEAR SOLVES: trace
+    the wrapped solver under float32 matmul precision.
+
+    The TPU default precision runs f32 dots as single-pass bf16
+    products; inside an LU/triangular solve on a damped normal matrix
+    (condition ~1e10: information up to 1/link_info_eps over damping
+    1e-6) the 8-bit mantissa passes destroy the factorization.
+    Measured round 5 on hardware (BENCH_NOTES): an online incremental
+    solve with well-conditioned cm-residual inputs moved nodes
+    17,703 m at default precision vs 0.020 m at float32 — silently
+    corrupted trajectories wherever the dense solver ran on TPU.
+    Cost: the solves are a negligible share of any pipeline
+    (~100 ms per 570-node offline solve)."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
+@f32_matmul
 @functools.partial(
     jax.jit, static_argnames=("iterations", "robust_kernel")
 )
@@ -255,10 +279,13 @@ def optimize(
 
         Hd = H.transpose(0, 2, 1, 3).reshape(dim, dim)
         bd = b.reshape(dim)
-        Hd = Hd + damping * jnp.eye(dim, dtype=p.dtype)
-        # Guard unconstrained (inactive) nodes: unit diagonal.
+        # Guard unconstrained (inactive) nodes with a unit diagonal
+        # BEFORE damping (a previous version tested the damped
+        # diagonal, where 1e-6 >= 1e-8 meant the guard never fired,
+        # leaving 1e-6 pivots in the factorization).
         diag = jnp.diagonal(Hd)
         Hd = Hd + jnp.diag(jnp.where(diag < 1e-8, 1.0, 0.0))
+        Hd = Hd + damping * jnp.eye(dim, dtype=p.dtype)
 
         delta = -jnp.linalg.solve(Hd, bd).reshape(n, 3)
         p_new = p + delta

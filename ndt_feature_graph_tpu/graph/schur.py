@@ -28,6 +28,8 @@ import numpy as np
 from ndt_feature_graph_tpu.core import se2
 from ndt_feature_graph_tpu.graph import optimize as opt
 
+from ndt_feature_graph_tpu.graph.optimize import f32_matmul as _f32
+
 
 class Partition(NamedTuple):
     """Static block structure (host-precomputed from the edge list)."""
@@ -114,6 +116,7 @@ def block_eliminate(H, b_vec, part: Partition, damping):
     return jax.vmap(one_block)(part.int_idx, part.int_mask)
 
 
+@_f32
 @functools.partial(jax.jit, static_argnames=("iterations",))
 def optimize_schur(
     poses,

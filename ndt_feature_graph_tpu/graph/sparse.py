@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from ndt_feature_graph_tpu.core import se2
 from ndt_feature_graph_tpu.graph import optimize as opt
 
+from ndt_feature_graph_tpu.graph.optimize import f32_matmul as _f32
+
 
 class EdgeBlocks(NamedTuple):
     """Per-edge linearized factor blocks (the sparse Hessian)."""
@@ -335,6 +337,7 @@ def pcg(blocks: EdgeBlocks, edges: opt.EdgeList, rhs, cg_iterations,
     return x
 
 
+@_f32
 @functools.partial(
     jax.jit,
     static_argnames=("iterations", "cg_iterations", "preconditioner",

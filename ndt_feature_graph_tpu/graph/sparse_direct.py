@@ -38,6 +38,8 @@ import numpy as np
 
 from ndt_feature_graph_tpu.core import se2
 from ndt_feature_graph_tpu.graph import optimize as opt
+
+from ndt_feature_graph_tpu.graph.optimize import f32_matmul as _f32
 from ndt_feature_graph_tpu.graph import sparse
 
 
@@ -292,6 +294,7 @@ def segment_backsub(z, Y_L, Y_R, xS, seg_left, seg_right):
             - jnp.einsum("blij,bj->bli", Y_R, xS_R))
 
 
+@_f32
 def solve_normal_equations(blocks: sparse.EdgeBlocks,
                            edges: opt.EdgeList,
                            part: SegPartition, n):
@@ -329,6 +332,7 @@ def solve_normal_equations(blocks: sparse.EdgeBlocks,
     return x
 
 
+@_f32
 @functools.partial(
     jax.jit, static_argnames=("iterations", "robust_kernel")
 )

@@ -22,9 +22,12 @@ from jax import shard_map
 
 from ndt_feature_graph_tpu.core import se2
 from ndt_feature_graph_tpu.graph import optimize as opt
+
+from ndt_feature_graph_tpu.graph.optimize import f32_matmul as _f32
 from ndt_feature_graph_tpu.parallel import mesh as mesh_mod
 
 
+@_f32
 def optimize_sharded(
     mesh,
     poses,
