@@ -425,7 +425,6 @@ def update_batch(
         )
         stride = d2d.wide_row_stride(h, w, m.n_neighbours)
         wide_flat = wide.reshape(b * stride, wide.shape[-1])
-        row_offsets = jnp.arange(b, dtype=jnp.int32) * stride
     Qs_b = Q_b + Q_b.transpose(0, 2, 1)
     use_feat = (
         m.use_feat and feat_src is not None and feat_tgt is not None
@@ -457,7 +456,7 @@ def update_batch(
             else:
                 f1, g1, H1 = d2d_analytic.fgh_dense_wide_batch(
                     d_b, T_pred, src_b, wide_flat, origins,
-                    row_offsets, h, w, res, m,
+                    h, w, res, m,
                 )
             f, g, H = f + f1, g + g1, H + H1
         if use_feat:

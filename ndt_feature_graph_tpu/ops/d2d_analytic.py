@@ -555,7 +555,6 @@ def fgh_dense_wide_batch(
     src_b,          # CellList batched (B, N, ...)
     wide_flat,      # (R, (2n+1)*8) win-row table (d2d.build_wide_table)
     origins,        # (B, 2)
-    row_offsets,    # (B,) int32
     h: int,
     w: int,
     resolution: float,
@@ -572,10 +571,11 @@ def fgh_dense_wide_batch(
     win-row with per-cell validity (tests/test_d2d_analytic.py::
     test_wide_batch_matches_flat_batch covers off-grid centres).
 
-    `row_offsets` are per-lane offsets into the stacked win-row table
-    in units of d2d.wide_row_stride(h, w, n) = h*(w+2n) — the
-    full-grid special case of fgh_dense_window_batch (cell0 = 0), to
-    which this delegates.
+    Per-lane row offsets into the stacked win-row table are implied:
+    lane b reads rows [b*stride, (b+1)*stride) with
+    stride = d2d.wide_row_stride(h, w, n) = h*(w+2n) — the full-grid
+    special case of fgh_dense_window_batch (cell0 = 0), to which this
+    delegates.
 
     Returns (f (B,), g (B, 3), H (B, 3, 3)).
     """

@@ -215,10 +215,8 @@ def test_wide_batch_matches_flat_batch():
     )
     wide = d2d.build_wide_table(packed, h, w, m.n_neighbours)
     wide_flat = wide.reshape(-1, wide.shape[-1])
-    stride = d2d.wide_row_stride(h, w, m.n_neighbours)
-    wide_offsets = jnp.arange(b, dtype=jnp.int32) * stride
     f2, g2, H2 = d2d_analytic.fgh_dense_wide_batch(
-        d_b, T0_b, src, wide_flat, origins, wide_offsets, h, w, res, m
+        d_b, T0_b, src, wide_flat, origins, h, w, res, m
     )
     np.testing.assert_allclose(
         np.asarray(f1), np.asarray(f2), rtol=1e-6, atol=1e-6
