@@ -197,11 +197,17 @@ def refine_links_d2d(
     (updateLinksUsingNDTRegistration, ndt_feature_graph.cpp:260-345).
 
     The batched Newton runs against the FLAT packed bank
-    (d2d_analytic.fgh_dense_flat): each evaluation's window gather
-    indexes the shared (N*H*W, 8) table with a per-pair row offset,
-    instead of first materializing per-pair copies of whole target
-    grids under vmap (~330 MB/evaluation at the canonical 256-pair
-    batch — the offline phase's dominant HBM traffic before round 4).
+    (d2d_analytic.fgh_dense_flat_batch): each evaluation's window
+    gather indexes the shared (N*H*W, 8) table with a per-pair row
+    offset, instead of first materializing per-pair copies of whole
+    target grids under vmap (~330 MB/evaluation at the canonical
+    256-pair batch — the offline phase's dominant HBM traffic before
+    round 4).  MEASURED round 5: a win-row bank here (5x fewer rows,
+    d2d.build_wide_table + explicit ref offsets) ran 157 pairs/s vs
+    457 for this flat path — 40-channel rows gather ~8x slower per
+    row from a large HBM-resident bank (round-4 probe), eating the
+    count win; win-rows pay off only for the small per-stream fleet
+    tables.  Kept flat.
 
     src_budget > 0 truncates each pair's source cell list to that many
     leading rows.  CellLists are compacted (valid cells first), so any
@@ -219,7 +225,6 @@ def refine_links_d2d(
     every pair (round 4; same formulation as the fleet path,
     fusion/fuser.update_batch)."""
     h, w = map_params.grid_h, map_params.grid_w
-    packed_flat = nodes.target.packed.reshape(-1, 8)
     nb = src_budget if src_budget > 0 else nodes.cells.means.shape[1]
 
     src_b = ndt_map.CellList(
@@ -228,6 +233,7 @@ def refine_links_d2d(
         mask=nodes.cells.mask[links.mov, :nb],
     )
     origins = nodes.target.origin[links.ref]
+    packed_flat = nodes.target.packed.reshape(-1, 8)
     row_offsets = links.ref * (h * w)
 
     def fgh_batch(d_b):

@@ -354,6 +354,7 @@ def fgh_dense_window_batch(
     resolution: float,
     m: MatcherParams,
     rel_means: bool = False,
+    row_offsets=None,
 ):
     """fgh_dense_wide_batch against per-stream WINDOW win-row tables
     (d2d.build_window_tables): gather indices are window-relative
@@ -373,7 +374,12 @@ def fgh_dense_window_batch(
     win = 2 * n + 1
     wp = ww + 2 * n
     b = d_b.shape[0]
-    row_offsets = jnp.arange(b, dtype=jnp.int32) * (wh * wp)
+    if row_offsets is None:
+        # Default: lane b owns table slab b (the fleet shape).  Pair
+        # registration against a stacked NODE bank passes explicit
+        # offsets (ref_index * stride) instead — many lanes may read
+        # the same slab (graph/links.refine_links_d2d).
+        row_offsets = jnp.arange(b, dtype=jnp.int32) * (wh * wp)
 
     def geom(d, T0, src, origin):
         T = _apply_increment(d, T0)
@@ -559,6 +565,8 @@ def fgh_dense_wide_batch(
     w: int,
     resolution: float,
     m: MatcherParams,
+    row_offsets=None,   # (B,) explicit table-slab offsets (units of
+                        # wide_row_stride); None = lane b -> slab b
 ):
     """fgh_dense_flat_batch against the WIN-ROW table: each source
     cell's (2n+1)^2 window is (2n+1) gathered win-rows (vertical
@@ -571,11 +579,12 @@ def fgh_dense_wide_batch(
     win-row with per-cell validity (tests/test_d2d_analytic.py::
     test_wide_batch_matches_flat_batch covers off-grid centres).
 
-    Per-lane row offsets into the stacked win-row table are implied:
-    lane b reads rows [b*stride, (b+1)*stride) with
-    stride = d2d.wide_row_stride(h, w, n) = h*(w+2n) — the full-grid
-    special case of fgh_dense_window_batch (cell0 = 0), to which this
-    delegates.
+    Per-lane row offsets default to lane b -> slab b (stride =
+    d2d.wide_row_stride(h, w, n) = h*(w+2n)); pair registration
+    against a stacked node bank passes explicit offsets
+    (ref_index * stride) so many lanes can read one slab.  This is
+    the full-grid special case of fgh_dense_window_batch (cell0 = 0),
+    to which it delegates.
 
     Returns (f (B,), g (B, 3), H (B, 3, 3)).
     """
@@ -583,5 +592,5 @@ def fgh_dense_wide_batch(
     cell0 = jnp.zeros((b, 2), jnp.int32)
     return fgh_dense_window_batch(
         d_b, T0_b, src_b, wide_flat, cell0, origins, h, w,
-        resolution, m, rel_means=False,
+        resolution, m, rel_means=False, row_offsets=row_offsets,
     )

@@ -271,3 +271,58 @@ def test_wide_batch_matches_flat_batch():
         np.testing.assert_allclose(
             np.asarray(f1)[i], np.asarray(fi), rtol=1e-5, atol=1e-5
         )
+
+
+def test_wide_batch_explicit_row_offsets():
+    """fgh_dense_wide_batch with EXPLICIT per-lane table-slab offsets
+    (the pair-registration shape: several lanes reading the same ref
+    node's slab) must equal the flat path with the same mapping."""
+    rng = np.random.default_rng(11)
+    h = w = 16
+    n_nodes, b, n_src = 3, 5, 9
+    packed = np.zeros((n_nodes, h * w, 8), np.float32)
+    packed[:] = np.asarray(d2d.empty_pack_row())
+    for k in range(n_nodes):
+        for c in rng.choice(h * w, 80, replace=False):
+            mean = rng.normal(0, 3.0, 2)
+            packed[k, c] = [mean[0], mean[1],
+                            rng.uniform(0.01, 0.05),
+                            rng.uniform(-0.005, 0.005),
+                            rng.uniform(0.01, 0.05), 1.0, 0, 0]
+    packed = jnp.asarray(packed)
+    m = MatcherParams()
+    from ndt_feature_graph_tpu.ops.ndt_map import CellList
+
+    ref = jnp.asarray([2, 0, 2, 1, 0], jnp.int32)   # repeated slabs
+    origins = jnp.asarray(
+        rng.uniform(-5.0, -3.0, (n_nodes, 2)).astype(np.float32)
+    )[ref]
+    src = CellList(
+        means=jnp.asarray(
+            rng.normal(0, 3.0, (b, n_src, 2)).astype(np.float32)
+        ),
+        covs=jnp.asarray(np.tile(
+            (np.eye(2) * 0.03).astype(np.float32), (b, n_src, 1, 1)
+        )),
+        mask=jnp.ones((b, n_src), bool),
+    )
+    d_b = jnp.asarray(rng.normal(0, 0.1, (b, 3)).astype(np.float32))
+    T0_b = jnp.asarray(rng.normal(0, 0.2, (b, 3)).astype(np.float32))
+    res = 0.5
+
+    f1, g1, H1 = d2d_analytic.fgh_dense_flat_batch(
+        d_b, T0_b, src, packed.reshape(-1, 8), origins,
+        ref * (h * w), h, w, res, m,
+    )
+    wide = d2d.build_wide_table(packed, h, w, m.n_neighbours)
+    stride = d2d.wide_row_stride(h, w, m.n_neighbours)
+    f2, g2, H2 = d2d_analytic.fgh_dense_wide_batch(
+        d_b, T0_b, src, wide.reshape(-1, wide.shape[-1]), origins,
+        h, w, res, m, row_offsets=ref * stride,
+    )
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(H1), np.asarray(H2),
+                               rtol=1e-5, atol=1e-5)
